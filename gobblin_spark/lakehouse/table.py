@@ -1,0 +1,504 @@
+"""Snapshot-based ACID table format on Parquet (from scratch).
+
+Why a custom format: the reference engine achieves atomic publish with a
+two-phase staging→rename protocol plus a filesystem state store
+(reference: gobblin-core/src/main/java/gobblin/writer/FsDataWriter.java:165-186
+staging commit; gobblin-core/src/main/java/gobblin/publisher/BaseDataPublisher.java:190-244
+final move; gobblin-metastore/src/main/java/gobblin/metastore/FsStateStore.java:55).
+The Spark-native equivalent is a table format whose commit is a single atomic
+metadata operation — Iceberg/Delta style. No Iceberg jars ship in this
+environment, so the format is implemented here from first principles:
+
+Layout::
+
+    <root>/
+      data/<write-uuid>/__bucket=<k>/part-*.parquet   (immutable data files)
+      _meta/v0000000001.json                          (snapshot manifests)
+      _meta/.tmp-*                                    (manifest staging)
+
+Commit protocol: the manifest for version N is staged to a temp file and
+published with ``os.link(tmp, vN.json)`` — a single atomic filesystem
+operation that FAILS if vN already exists. That failure is the optimistic-
+concurrency conflict signal (two writers racing to commit N). This mirrors
+Delta Lake's transaction-log protocol and replaces the reference's
+rename-with-retry publish (StunlockPartitionedHiveDataPublisher.java:137-163).
+
+Data files are written by Spark directly into their final location under
+``data/<uuid>/`` and only *referenced* by the manifest — an uncommitted write
+leaves orphan files that are invisible to readers (≙ Gobblin's stale-staging
+cleanup, AbstractJobLauncher.java:706-737) and removable by ``vacuum()``.
+
+Scale notes (100 TB / 1000 executors):
+- Commit cost is O(manifest), independent of data size. A manifest holds one
+  row per live file; at ~1 GB/file that is ~10^5 entries for 100 TB — a few
+  MB of JSON. (Production hardening would shard manifests Iceberg-style; the
+  protocol is unchanged.)
+- Readers plan with file-level pruning: hash-bucket pruning on the merge key
+  and min/max `seq` range pruning, both recorded per file in the manifest, so
+  a MERGE touching k buckets reads k/B of the table.
+- The table is hash-bucketed on the merge key columns: co-locates MERGE
+  shuffle, bounds the copy-on-write rewrite to affected buckets only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StructType
+
+_META = "_meta"
+_DATA = "data"
+_V_DIGITS = 10
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first (optimistic conflict)."""
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to table root
+    bucket: int
+    rows: int
+    bytes: int
+    schema_version: int
+    min_seq: int | None = None
+    max_seq: int | None = None
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "path": self.path,
+            "bucket": self.bucket,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "schema_version": self.schema_version,
+            "min_seq": self.min_seq,
+            "max_seq": self.max_seq,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "DataFile":
+        return DataFile(**d)
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_json: dict[str, Any]
+    n_buckets: int
+    bucket_cols: list[str]
+    files: list[DataFile]
+    schema_version: int = 1
+    schema_log: list[dict[str, Any]] = field(default_factory=list)
+    properties: dict[str, Any] = field(default_factory=dict)
+    parent: int | None = None
+    timestamp_ms: int = 0
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.schema_json)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "version": self.version,
+            "parent": self.parent,
+            "timestamp_ms": self.timestamp_ms,
+            "schema": self.schema_json,
+            "schema_version": self.schema_version,
+            "schema_log": self.schema_log,
+            "n_buckets": self.n_buckets,
+            "bucket_cols": self.bucket_cols,
+            "properties": self.properties,
+            "files": [f.to_json() for f in self.files],
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Snapshot":
+        return Snapshot(
+            version=d["version"],
+            parent=d.get("parent"),
+            timestamp_ms=d.get("timestamp_ms", 0),
+            schema_json=d["schema"],
+            schema_version=d.get("schema_version", 1),
+            schema_log=d.get("schema_log", []),
+            n_buckets=d["n_buckets"],
+            bucket_cols=d["bucket_cols"],
+            properties=d.get("properties", {}),
+            files=[DataFile.from_json(f) for f in d["files"]],
+        )
+
+
+def bucket_expr(bucket_cols: list[str], n_buckets: int):
+    """Deterministic bucket id for a row: pmod(xxhash64(key...), B).
+
+    JVM-side expression — stays inside whole-stage codegen; the same
+    expression plans the shuffle for MERGE so bucket co-location is free.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in bucket_cols]), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+class LakeTable:
+    """A versioned Parquet table with atomic snapshot commits."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---------------------------------------------------------------- paths
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, _META)
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._meta_dir, f"v{version:0{_V_DIGITS}d}.json")
+
+    # ------------------------------------------------------------ lifecycle
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: StructType,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+        properties: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        t = LakeTable(spark, root)
+        os.makedirs(t._meta_dir, exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+        if t.current_version() is not None:
+            raise FileExistsError(f"table already exists at {root}")
+        snap = Snapshot(
+            version=1,
+            schema_json=schema.jsonValue(),
+            n_buckets=n_buckets,
+            bucket_cols=list(bucket_cols),
+            files=[],
+            properties=properties or {},
+            timestamp_ms=int(time.time() * 1000),
+        )
+        t._publish_manifest(snap)
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        meta = os.path.join(root, _META)
+        if not os.path.isdir(meta):
+            return False
+        return any(
+            n.startswith("v") and n.endswith(".json") for n in os.listdir(meta)
+        )
+
+    def current_version(self) -> int | None:
+        if not os.path.isdir(self._meta_dir):
+            return None
+        versions = [
+            int(n[1 : 1 + _V_DIGITS])
+            for n in os.listdir(self._meta_dir)
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {self.root}")
+        with open(self._manifest_path(v)) as fh:
+            return Snapshot.from_json(json.load(fh))
+
+    def history(self) -> list[Snapshot]:
+        v = self.current_version() or 0
+        return [self.snapshot(i) for i in range(1, v + 1)]
+
+    # --------------------------------------------------------------- commit
+    def _publish_manifest(self, snap: Snapshot) -> None:
+        """Atomic publish: link(tmp, vN) fails with EEXIST on a race."""
+        tmp = os.path.join(self._meta_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(snap.to_json(), fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        target = self._manifest_path(snap.version)
+        try:
+            os.link(tmp, target)
+        except FileExistsError as exc:
+            raise ConcurrentCommitError(
+                f"version {snap.version} already committed at {self.root}"
+            ) from exc
+        finally:
+            os.unlink(tmp)
+
+    def commit(
+        self,
+        keep_files: Iterable[DataFile],
+        add_files: Iterable[DataFile],
+        properties: dict[str, Any] | None = None,
+        schema: StructType | None = None,
+        schema_version: int | None = None,
+        schema_log_append: list[dict[str, Any]] | None = None,
+        expected_version: int | None = None,
+    ) -> Snapshot:
+        """Commit a new snapshot: keep_files + add_files become the live set.
+
+        ``expected_version`` enforces optimistic concurrency: if the table
+        advanced since the caller read it, the commit raises instead of
+        clobbering (≙ Gobblin's JobLock single-writer guarantee done
+        optimistically; FileBasedJobLock.java).
+        """
+        base = self.snapshot()
+        if expected_version is not None and base.version != expected_version:
+            raise ConcurrentCommitError(
+                f"expected v{expected_version}, table is at v{base.version}"
+            )
+        props = dict(base.properties)
+        props.update(properties or {})
+        snap = Snapshot(
+            version=base.version + 1,
+            parent=base.version,
+            timestamp_ms=int(time.time() * 1000),
+            schema_json=(schema or base.schema).jsonValue(),
+            schema_version=schema_version or base.schema_version,
+            schema_log=base.schema_log + (schema_log_append or []),
+            n_buckets=base.n_buckets,
+            bucket_cols=base.bucket_cols,
+            properties=props,
+            files=list(keep_files) + list(add_files),
+        )
+        self._publish_manifest(snap)
+        return snap
+
+    # ---------------------------------------------------------------- write
+    def write_data_files(
+        self,
+        df: DataFrame,
+        seq_col: str | None = None,
+        schema_version: int | None = None,
+        partitions_per_bucket: int = 1,
+    ) -> list[DataFile]:
+        """Write df as new data files (NOT yet visible — commit separately).
+
+        The write clusters rows by bucket so each output file belongs to one
+        bucket, enabling bucket pruning on read and bounded copy-on-write on
+        MERGE. Spark writes straight to the final directory; atomicity comes
+        from the manifest, not from renames.
+        """
+        snap = self.snapshot()
+        sv = schema_version or snap.schema_version
+        write_id = uuid.uuid4().hex
+        out_dir = os.path.join(self.root, _DATA, write_id)
+        (
+            df.withColumn("__bucket", bucket_expr(snap.bucket_cols, snap.n_buckets))
+            .repartition(
+                max(1, snap.n_buckets * partitions_per_bucket), F.col("__bucket")
+            )
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        return self._index_written_files(out_dir, write_id, sv, seq_col)
+
+    def _index_written_files(
+        self, out_dir: str, write_id: str, schema_version: int, seq_col: str | None
+    ) -> list[DataFile]:
+        """Build DataFile entries from parquet footers (no data read)."""
+        import pyarrow.parquet as pq
+
+        files: list[DataFile] = []
+        for dirpath, _dirnames, names in os.walk(out_dir):
+            rel_dir = os.path.relpath(dirpath, out_dir)
+            bucket = -1
+            for part in rel_dir.split(os.sep):
+                if part.startswith("__bucket="):
+                    bucket = int(part.split("=", 1)[1])
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                meta = pq.ParquetFile(full).metadata
+                if meta.num_rows == 0:
+                    continue
+                min_seq = max_seq = None
+                if seq_col is not None:
+                    idx = None
+                    arrow_schema = meta.schema.to_arrow_schema()
+                    for i, field_name in enumerate(arrow_schema.names):
+                        if field_name == seq_col:
+                            idx = i
+                    if idx is not None:
+                        mins, maxs = [], []
+                        for rg in range(meta.num_row_groups):
+                            st = meta.row_group(rg).column(idx).statistics
+                            if st is not None and st.has_min_max:
+                                mins.append(st.min)
+                                maxs.append(st.max)
+                        if mins:
+                            min_seq, max_seq = int(min(mins)), int(max(maxs))
+                files.append(
+                    DataFile(
+                        path=os.path.relpath(full, self.root),
+                        bucket=bucket,
+                        rows=meta.num_rows,
+                        bytes=os.path.getsize(full),
+                        schema_version=schema_version,
+                        min_seq=min_seq,
+                        max_seq=max_seq,
+                    )
+                )
+        return files
+
+    def append(self, df: DataFrame, properties: dict[str, Any] | None = None,
+               seq_col: str | None = None) -> Snapshot:
+        """Append-only commit (no key dedup) — ≙ APPEND_ONLY extract type
+        (gobblin-api/.../source/workunit/Extract.java:48)."""
+        snap = self.snapshot()
+        new_files = self.write_data_files(df, seq_col=seq_col)
+        return self.commit(
+            keep_files=snap.files,
+            add_files=new_files,
+            properties=properties,
+            expected_version=snap.version,
+        )
+
+    def overwrite(self, df: DataFrame, properties: dict[str, Any] | None = None,
+                  seq_col: str | None = None) -> Snapshot:
+        """Full-snapshot replace — ≙ SNAPSHOT_ONLY extract type."""
+        snap = self.snapshot()
+        new_files = self.write_data_files(df, seq_col=seq_col)
+        return self.commit(
+            keep_files=[],
+            add_files=new_files,
+            properties=properties,
+            expected_version=snap.version,
+        )
+
+    # ----------------------------------------------------------------- read
+    def _conform_exprs(self, snap: Snapshot, file_sv: int) -> list:
+        """SELECT expressions conforming a file written at schema_version
+        ``file_sv`` to the snapshot's current schema.
+
+        Applies the schema_log ops (add / widen / rename) that happened after
+        the file was written — Avro-resolution-style read-time evolution
+        (reference: AvroUtils.convertRecordSchema,
+        gobblin-utility/src/main/java/gobblin/util/AvroUtils.java:158), so
+        old files are never rewritten on schema change.
+        """
+        # Reconstruct the column list as of file_sv by replaying the log.
+        current = snap.schema
+        # name in current schema -> expression over the file's columns
+        renames: dict[str, str] = {}  # current name -> historical name at file_sv
+        added: set[str] = set()
+        for op in snap.schema_log:
+            if op["v"] <= file_sv:
+                continue
+            if op["op"] == "rename":
+                # column named op["new"] now was op["old"] in the file
+                hist = renames.get(op["old"], op["old"])
+                renames[op["new"]] = hist
+                renames.pop(op["old"], None)
+            elif op["op"] == "add":
+                added.add(op["col"])
+            # widen: handled by the cast below
+        exprs = []
+        for f_ in current.fields:
+            if f_.name in added:
+                exprs.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+            else:
+                src = renames.get(f_.name, f_.name)
+                exprs.append(F.col(src).cast(f_.dataType).alias(f_.name))
+        return exprs
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: set[int] | None = None,
+        seq_range: tuple[int, int] | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot, with file-level pruning.
+
+        buckets: only files in these hash buckets (merge-key pruning).
+        seq_range: (low, high] pruning on the per-file seq min/max stats.
+        """
+        snap = self.snapshot(version)
+        files = snap.files
+        if buckets is not None:
+            files = [f for f in files if f.bucket in buckets]
+        if seq_range is not None:
+            lo, hi = seq_range
+            files = [
+                f
+                for f in files
+                if f.min_seq is None or (f.max_seq > lo and f.min_seq <= hi)
+            ]
+        if not files:
+            return self.spark.createDataFrame([], snap.schema)
+        # Group by the schema version files were written with; conform each
+        # group to the current schema, then union. Typically one group.
+        by_sv: dict[int, list[str]] = {}
+        for f_ in files:
+            by_sv.setdefault(f_.schema_version, []).append(
+                os.path.join(self.root, f_.path)
+            )
+        parts: list[DataFrame] = []
+        for sv, paths in sorted(by_sv.items()):
+            df = self.spark.read.parquet(*paths)
+            if sv != snap.schema_version:
+                df = df.select(*self._conform_exprs(snap, sv))
+            else:
+                df = df.select(*[F.col(f_.name) for f_ in snap.schema.fields])
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def buckets_of(self, df: DataFrame) -> set[int]:
+        """Distinct buckets touched by df's keys (driver-side plan metadata;
+        O(B) result, never O(rows))."""
+        snap = self.snapshot()
+        rows = (
+            df.select(bucket_expr(snap.bucket_cols, snap.n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        return {r["b"] for r in rows}
+
+    # ------------------------------------------------------------- maintain
+    def vacuum(self) -> int:
+        """Delete data files not referenced by any snapshot (orphans from
+        failed writes) — ≙ cleanupStagingData (AbstractJobLauncher.java:706)."""
+        live: set[str] = set()
+        for snap in self.history():
+            for f_ in snap.files:
+                live.add(os.path.normpath(os.path.join(self.root, f_.path)))
+        removed = 0
+        data_root = os.path.join(self.root, _DATA)
+        for dirpath, _d, names in os.walk(data_root):
+            for name in names:
+                full = os.path.normpath(os.path.join(dirpath, name))
+                if full.endswith(".parquet") and full not in live:
+                    os.unlink(full)
+                    removed += 1
+        # prune empty dirs
+        for dirpath, dirnames, names in os.walk(data_root, topdown=False):
+            if not dirnames and not names and dirpath != data_root:
+                shutil.rmtree(dirpath, ignore_errors=True)
+        return removed
+
+    def stats(self) -> dict[str, Any]:
+        snap = self.snapshot()
+        return {
+            "version": snap.version,
+            "files": len(snap.files),
+            "rows": sum(f.rows for f in snap.files),
+            "bytes": sum(f.bytes for f in snap.files),
+            "buckets": snap.n_buckets,
+        }

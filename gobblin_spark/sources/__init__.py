@@ -1,0 +1,11 @@
+from gobblin_spark.sources.change_events import (
+    generate_change_events,
+    generate_repo_table,
+    EVENT_SCHEMA_FIELDS,
+)
+
+__all__ = [
+    "generate_change_events",
+    "generate_repo_table",
+    "EVENT_SCHEMA_FIELDS",
+]

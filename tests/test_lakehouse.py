@@ -1,0 +1,156 @@
+"""LakeTable format: atomic commits, pruning, time travel, schema evolution.
+
+Test strategy models the reference's state-store/publish tests
+(gobblin-runtime/src/test/java/gobblin/runtime/FsDatasetStateStoreTest.java,
+gobblin-core/src/test/java/gobblin/commit/FsRenameCommitStepTest.java).
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gobblin_spark.lakehouse import ConcurrentCommitError, LakeTable
+
+
+SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("content", StringType()),
+        StructField("__seq", LongType()),
+        StructField("__deleted", BooleanType()),
+    ]
+)
+
+
+def make_df(spark, n=100, seq0=0):
+    return spark.range(n).select(
+        F.concat(F.lit("r"), (F.col("id") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content"),
+        (F.col("id") + seq0).cast("long").alias("__seq"),
+        F.lit(False).alias("__deleted"),
+    )
+
+
+def test_create_append_read(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["repo", "path"], n_buckets=8)
+    assert t.current_version() == 1
+    snap = t.append(make_df(spark, 100), seq_col="__seq")
+    assert snap.version == 2
+    assert t.read().count() == 100
+    # files carry bucket + seq stats
+    assert all(f.bucket >= 0 for f in snap.files)
+    assert all(f.min_seq is not None for f in snap.files)
+    # second append accumulates
+    t.append(make_df(spark, 50, seq0=1000), seq_col="__seq")
+    assert t.read().count() == 150
+    # time travel
+    assert t.read(version=2).count() == 100
+
+
+def test_bucket_and_seq_pruning(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["repo", "path"], n_buckets=8)
+    t.append(make_df(spark, 200), seq_col="__seq")
+    df = make_df(spark, 200)
+    some_keys = df.filter(F.col("__seq") < 10)
+    buckets = t.buckets_of(some_keys)
+    pruned = t.read(buckets=buckets)
+    full = t.read()
+    assert pruned.count() <= full.count()
+    # every row of some_keys must be present in the pruned read
+    got = pruned.join(some_keys.select("repo", "path"), ["repo", "path"], "leftsemi")
+    assert got.count() == 10
+    # seq pruning excludes files entirely outside the range
+    none_df = t.read(seq_range=(10_000, 20_000))
+    assert none_df.count() == 0
+
+
+def test_concurrent_commit_conflict(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["repo", "path"], n_buckets=4)
+    snap = t.snapshot()
+    files = t.write_data_files(make_df(spark, 10), seq_col="__seq")
+    t.commit(keep_files=snap.files, add_files=files, expected_version=snap.version)
+    # a second committer that read the same base version must fail
+    with pytest.raises(ConcurrentCommitError):
+        t.commit(keep_files=snap.files, add_files=files, expected_version=snap.version)
+
+
+def test_vacuum_removes_orphans(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["repo", "path"], n_buckets=4)
+    t.append(make_df(spark, 20), seq_col="__seq")
+    # a write that never commits (≙ failed task staging data)
+    t.write_data_files(make_df(spark, 20), seq_col="__seq")
+    removed = t.vacuum()
+    assert removed > 0
+    assert t.read().count() == 20  # live data intact
+
+
+def test_schema_evolution_add_widen_rename(spark, tmp_table_dir):
+    schema_v1 = StructType(
+        [
+            StructField("repo", StringType()),
+            StructField("path", StringType()),
+            StructField("lang", StringType()),
+            StructField("size_bytes", IntegerType()),
+        ]
+    )
+    t = LakeTable.create(spark, tmp_table_dir, schema_v1, ["repo", "path"], n_buckets=4)
+    df1 = spark.range(10).select(
+        F.lit("r").alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        F.lit("py").alias("lang"),
+        F.col("id").cast("int").alias("size_bytes"),
+    )
+    t.append(df1)
+
+    # widen size_bytes int → long, then rename lang → language
+    schema_v2 = StructType(
+        [
+            StructField("repo", StringType()),
+            StructField("path", StringType()),
+            StructField("language", StringType()),
+            StructField("size_bytes", LongType()),
+            StructField("added_col", StringType()),
+        ]
+    )
+    snap = t.snapshot()
+    t.commit(
+        keep_files=snap.files,
+        add_files=[],
+        schema=schema_v2,
+        schema_version=2,
+        schema_log_append=[
+            {"v": 2, "op": "widen", "col": "size_bytes", "type": "long"},
+            {"v": 2, "op": "rename", "old": "lang", "new": "language"},
+            {"v": 2, "op": "add", "col": "added_col", "type": "string"},
+        ],
+        expected_version=snap.version,
+    )
+    out = t.read()
+    assert set(out.columns) == {"repo", "path", "language", "size_bytes", "added_col"}
+    assert dict(out.dtypes)["size_bytes"] == "bigint"
+    rows = out.orderBy("path").collect()
+    assert rows[0]["language"] == "py"  # old files readable through rename
+    assert rows[0]["added_col"] is None  # added col null-filled
+
+    # new-version file unions cleanly with old-version files
+    df2 = spark.range(5).select(
+        F.lit("r2").alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        F.lit("go").alias("language"),
+        (F.col("id") + 10_000_000_000).alias("size_bytes"),
+        F.lit("x").alias("added_col"),
+    )
+    t.append(df2)
+    assert t.read().count() == 15
+    assert t.read().filter(F.col("size_bytes") > 5_000_000_000).count() == 5

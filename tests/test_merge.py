@@ -1,0 +1,172 @@
+"""LWW MERGE semantics vs the DuckDB oracle replay.
+
+Covers the compaction-dedup semantics of the reference
+(AvroKeyDedupReducer.java:52-55 keep-last-per-key) plus the cross-batch
+out-of-order/duplicate/tombstone cases the reference only solves by full
+recompaction (MRCompactor.java:147-157).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gobblin_spark.lakehouse import LakeTable, merge_lww
+from gobblin_spark.lakehouse.merge import gc_tombstones, lww_reduce, read_current
+from gobblin_spark.sources import generate_change_events
+
+from tests.oracle import assert_matches_oracle
+
+TARGET_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+        StructField("__seq", LongType()),
+        StructField("__deleted", BooleanType()),
+    ]
+)
+
+KEYS = ["repo", "path"]
+
+
+def make_events(spark, n=2000, **kw):
+    kw.setdefault("n_repos", 20)
+    kw.setdefault("paths_per_repo", 40)
+    return generate_change_events(spark, n, **kw).cache()
+
+
+def new_table(spark, d):
+    return LakeTable.create(spark, d, TARGET_SCHEMA, KEYS, n_buckets=8)
+
+
+def data_events(events):
+    return events.filter(F.col("op").isin("I", "U", "D")).drop("version")
+
+
+def test_lww_reduce_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "I", "r", "a", "v1"),
+            (3, "U", "r", "a", "v3"),
+            (2, "U", "r", "a", "v2"),
+            (1, "I", "r", "b", "b1"),
+        ],
+        ["seq", "op", "repo", "path", "content"],
+    )
+    out = {(r["repo"], r["path"]): r["content"]
+           for r in lww_reduce(df, KEYS).collect()}
+    assert out == {("r", "a"): "v3", ("r", "b"): "b1"}
+
+
+def test_lww_reduce_salted_matches_plain(spark):
+    ev = make_events(spark, 3000)
+    d = data_events(ev)
+    plain = lww_reduce(d, KEYS).orderBy("repo", "path")
+    salted = lww_reduce(d, KEYS, salt_buckets=7).orderBy("repo", "path")
+    assert plain.collect() == salted.collect()
+    # selective: only hottest repos take the two-stage path
+    hot = d.groupBy("repo", "path").count().orderBy(F.desc("count")).limit(5)
+    selective = lww_reduce(d, KEYS, salt_buckets=7, hot_keys=hot).orderBy(
+        "repo", "path"
+    )
+    assert plain.collect() == selective.collect()
+
+
+def test_single_batch_merge_matches_oracle(spark, tmp_table_dir):
+    ev = make_events(spark, 2000, dup_frac=0.1, delete_frac=0.1, ooo_window=200)
+    t = new_table(spark, tmp_table_dir)
+    merge_lww(t, data_events(ev), KEYS)
+    assert_matches_oracle(read_current(t), ev)
+
+
+def test_multi_batch_merge_matches_oracle(spark, tmp_table_dir):
+    """Events applied in 4 seq-range batches — the incremental path."""
+    ev = make_events(spark, 2000, dup_frac=0.08, delete_frac=0.08, ooo_window=300)
+    t = new_table(spark, tmp_table_dir)
+    n = ev.count()
+    step = n // 4 + 1
+    for lo in range(0, n, step):
+        batch = data_events(ev).filter(
+            (F.col("seq") >= lo) & (F.col("seq") < lo + step)
+        )
+        merge_lww(t, batch, KEYS)
+    assert_matches_oracle(read_current(t), ev)
+
+
+def test_reapply_batch_is_idempotent(spark, tmp_table_dir):
+    ev = make_events(spark, 1500, delete_frac=0.1)
+    t = new_table(spark, tmp_table_dir)
+    batch = data_events(ev)
+    merge_lww(t, batch, KEYS)
+    before = sorted(read_current(t).collect())
+    merge_lww(t, batch, KEYS)  # blind re-run (crash recovery path)
+    after = sorted(read_current(t).collect())
+    assert before == after
+    assert_matches_oracle(read_current(t), ev)
+
+
+def test_tombstone_blocks_late_update(spark, tmp_table_dir):
+    """U(seq=5) arriving AFTER D(seq=10) was applied must not resurrect."""
+    t = new_table(spark, tmp_table_dir)
+    cols = ["seq", "op", "repo", "path", "commit", "lang", "content"]
+    b1 = spark.createDataFrame(
+        [(10, "D", "r", "a", None, None, None),
+         (1, "I", "r", "b", "c1", "py", "keep-me")], cols
+    )
+    merge_lww(t, b1, KEYS)
+    assert read_current(t).count() == 1
+    b2 = spark.createDataFrame(
+        [(5, "U", "r", "a", "c5", "py", "late-loser")], cols
+    )
+    merge_lww(t, b2, KEYS)
+    rows = read_current(t).collect()
+    assert len(rows) == 1 and rows[0]["path"] == "b"
+    # but a LATER update (seq=11) re-inserts
+    b3 = spark.createDataFrame(
+        [(11, "U", "r", "a", "c11", "py", "alive-again")], cols
+    )
+    merge_lww(t, b3, KEYS)
+    assert read_current(t).count() == 2
+
+
+def test_gc_tombstones(spark, tmp_table_dir):
+    t = new_table(spark, tmp_table_dir)
+    cols = ["seq", "op", "repo", "path", "commit", "lang", "content"]
+    b1 = spark.createDataFrame(
+        [(10, "D", "r", "a", None, None, None),
+         (20, "U", "r", "b", "c", "py", "live")], cols
+    )
+    merge_lww(t, b1, KEYS)
+    raw = t.read()
+    assert raw.count() == 2  # tombstone physically present
+    gc_tombstones(t, horizon_seq=15)
+    assert t.read().count() == 1  # tombstone gone
+    assert read_current(t).count() == 1  # visible state unchanged
+
+
+def test_merge_only_rewrites_affected_buckets(spark, tmp_table_dir):
+    """Copy-on-write boundedness: files in untouched buckets survive."""
+    ev = make_events(spark, 2000)
+    t = new_table(spark, tmp_table_dir)
+    merge_lww(t, data_events(ev), KEYS)
+    files_before = {f.path: f.bucket for f in t.snapshot().files}
+    cols = ["seq", "op", "repo", "path", "commit", "lang", "content"]
+    one = spark.createDataFrame(
+        [(10_000_000, "U", "repo_0001", "src/f1.txt", "c", "py", "x")], cols
+    )
+    merge_lww(t, one, KEYS)
+    snap = t.snapshot()
+    kept = [f for f in snap.files if f.path in files_before]
+    new = [f for f in snap.files if f.path not in files_before]
+    new_buckets = {f.bucket for f in new}
+    assert len(new_buckets) == 1  # exactly one bucket rewritten
+    assert all(f.bucket not in new_buckets for f in kept)
+    assert len(kept) > 0
