@@ -1,0 +1,282 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's dedup is key-based MR compaction
+(gobblin-compaction/.../avro/AvroKeyDedupReducer.java:31-65 — shuffle by key,
+keep last). These operators generalize that to content-based dedup at 100 TB
+scale, each designed so the expensive pairing step is bucketed (LSH) rather
+than O(n²), with the brute-force variants kept as correctness oracles.
+
+Portability note: all hashing is md5-based (not xxhash) so an independent
+SQL engine (DuckDB) can replay the exact same computation for the
+correctness gate — lexicographic min over hex digests is a valid uniform
+min-hash and is engine-agnostic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+# --------------------------------------------------------------- exact dedup
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash: keep the min-id canonical row,
+    emit (kept_id, dup_id) pairs for every shed duplicate.
+
+    One shuffle on the content hash (not the full row), map-side combine
+    applies. ≙ compaction dedup with key = content digest.
+    """
+    h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"),
+                                               F.lit("\x00")) for c in cols]))
+    with_h = df.select(F.col(id_col), h.alias("__h"))
+    groups = with_h.groupBy("__h").agg(
+        F.min(id_col).alias("kept_id"),
+        F.collect_list(id_col).alias("ids"),
+    )
+    return (
+        groups.select("kept_id", F.explode("ids").alias("dup_id"))
+        .filter(F.col("dup_id") != F.col("kept_id"))
+    )
+
+
+# ------------------------------------------------------------------ shingles
+def tokens_expr(text_col, lowercase: bool = True):
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        t = F.lower(t)
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def shingles_expr(text_col, n: int = 3):
+    """Distinct word n-grams as an array<string> — pure JVM expressions
+    (no UDF): slice+concat over the token array."""
+    toks = tokens_expr(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard_expr(a, b):
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ----------------------------------------------------------- n-gram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Brute-force all-pairs n-gram Jaccard ≥ threshold (the exact oracle;
+    O(n²) — use only on samples or as the verify stage after LSH).
+    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    s = df.select(F.col(id_col).alias("__id"),
+                  shingles_expr(text_col, n).alias("__sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = a.join(b, F.col(f"a.__id") < F.col(f"b.__id"))
+    jac = jaccard_expr(F.col("a.__sh"), F.col("b.__sh"))
+    return (
+        pairs.select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- minhash LSH
+def minhash_signature_exprs(shingle_col, n_hashes: int) -> list:
+    """n_hashes independent min-hashes: min over shingles of
+    md5("<i>:" || shingle) — lexicographic min over hex digests. Engine-
+    agnostic (replayable in any SQL dialect with md5)."""
+    return [
+        F.array_min(
+            F.transform(
+                shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+            )
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    Pipeline: shingle → n_hashes min-hashes → ``bands`` band keys (each a
+    digest of rows_per_band consecutive min-hashes) → explode to (band_key,
+    id) → self-join per bucket (candidate pairs share ≥1 band) → verify with
+    TRUE Jaccard ≥ threshold.
+
+    Scale shape: the only shuffle on the full data is groupBy/join on band
+    keys; buckets are tiny (near-dup clusters), so the candidate join is
+    sparse — this is the 100 TB path, vs O(n²) brute force.
+    """
+    assert n_hashes % bands == 0
+    rpb = n_hashes // bands
+    s = df.select(
+        F.col(id_col).alias("__id"),
+        shingles_expr(text_col, n).alias("__sh"),
+    ).withColumn("__sh", F.when(F.size("__sh") > 0, F.col("__sh"))
+                 .otherwise(F.array(F.lit(""))))
+    sig = s.select("__id", "__sh", *minhash_signature_exprs(F.col("__sh"), n_hashes))
+    band_keys = [
+        F.md5(
+            F.concat_ws("|", F.lit(str(b)),
+                        *[F.col(f"mh{b * rpb + j}") for j in range(rpb)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("__id", "__sh", F.array(*band_keys).alias("__bands"))
+    exploded = banded.select(
+        "__id", "__sh", F.explode("__bands").alias("__band")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.__band") == F.col("b.__band"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = jaccard_expr(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------- simhash
+def simhash_expr(text_col, bits: int = 32):
+    """SimHash fingerprint over word tokens (md5-derived per-token hash so
+    an external SQL oracle can replay it bit-for-bit).
+
+    Per token: h = first 8 hex chars of md5(token) as a 32-bit int. The
+    fingerprint's bit b is 1 iff sum over tokens of (±1 per bit b) > 0.
+    Pure JVM expressions: aggregate over the token array.
+    """
+    toks = tokens_expr(text_col)
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    # accumulate per-bit counts via aggregate into an array of counts
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.when(
+                    F.shiftright(tok_hash(t), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)).cast("long"),
+            ),
+            lambda c, d: c + d,
+        ),
+    )
+    # fold sign bits into a long
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, b: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32,
+    max_hamming: int = 3, band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into bits/band_bits
+    blocks (a pair within hamming distance d must share ≥1 identical block
+    if d < n_blocks), candidate-join per block, verify true hamming ≤
+    max_hamming."""
+    n_blocks = bits // band_bits
+    s = df.select(F.col(id_col).alias("__id"),
+                  simhash_expr(text_col, bits).alias("__sim"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("__sim"), i * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    e = s.select("__id", "__sim", F.explode(blocks).alias("__b"))
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sim").alias("sim_a"),
+            F.col("b.__sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# -------------------------------------------------- embedding cosine near-dup
+def cosine_expr(a, b, decimals: int = 6):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: (x * x).cast("double")),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: (x * x).cast("double")),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return F.round(dot / (na * nb), decimals)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (exact; O(n²) — the oracle/baseline;
+    LSH-bucketed scale path in gobblin_spark.operators.similarity)."""
+    s = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    a, b = s.alias("a"), s.alias("b")
+    cos = cosine_expr(F.col("a.__v"), F.col("b.__v"))
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

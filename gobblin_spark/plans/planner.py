@@ -1,0 +1,254 @@
+"""Work-unit planning: watermarks → key-range work units → bin packing.
+
+The Spark reimagining of the reference's planning layer:
+
+- offset-range planning ≙ KafkaSource.getWorkunits
+  (gobblin-core/.../extract/kafka/KafkaSource.java:129-161,291-396): per
+  stream partition (event_group), plan (low, high] seq ranges from the last
+  committed watermark to the available high, with a per-batch admission cap
+  (≙ fork-added KAFKA_MAX_WORKUNIT_RECORD_COUNT, KafkaSource.java:379-394)
+- retry carry-over ≙ AbstractSource.getPreviousWorkUnitsForRetry
+  (gobblin-core/.../extract/AbstractSource.java:124): uncommitted ranges are
+  re-emitted before new ones
+- worst-fit-decreasing bin packing ≙ KafkaWorkUnitPacker.java:256-288 /
+  KafkaSingleLevelWorkUnitPacker.java:46-67, with load = size × log(#units)
+  (KafkaWorkUnitPacker.java:151-158)
+- size estimation from committed history ≙
+  KafkaAvgRecordTimeBasedWorkUnitSizeEstimator.java:51,66
+- hot-key flagging for the salted two-stage merge ≙ the bi-level packer's
+  documented skew tradeoff (KafkaBiLevelWorkUnitPacker.java:42-47)
+
+Everything here is DRIVER-side metadata math over O(#groups) rows — the
+planning scan aggregates the event table with predicate pushdown (only
+seq > min(watermark) is read) and collects one row per group, never data.
+"""
+
+from __future__ import annotations
+
+import math
+import uuid
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from gobblin_spark.state.store import StateStore, WorkUnitState
+
+
+@dataclass
+class WorkUnit:
+    workunit_id: str
+    event_group: int
+    low_seq: int  # exclusive
+    high_seq: int  # inclusive
+    est_records: int
+    est_cost: float  # estimated ms
+    retry_of: str | None = None
+
+
+@dataclass
+class BatchPlan:
+    batch_id: str
+    units: list[WorkUnit]
+    bins: list[list[WorkUnit]] = field(default_factory=list)
+    hot_repos: list[str] = field(default_factory=list)
+    total_est_records: int = 0
+
+    @property
+    def empty(self) -> bool:
+        return not self.units
+
+    def to_states(self) -> list[WorkUnitState]:
+        return [
+            WorkUnitState(
+                workunit_id=u.workunit_id,
+                batch_id=self.batch_id,
+                event_group=u.event_group,
+                low_seq=u.low_seq,
+                high_seq=u.high_seq,
+            )
+            for u in self.units
+        ]
+
+
+def wfd_load(size: float, n_units: int) -> float:
+    """Bin load contribution: size × log2(#units+2)
+    (≙ KafkaWorkUnitPacker.java:151-158 — many small units cost overhead)."""
+    return size * math.log2(n_units + 2)
+
+
+def bin_pack_wfd(units: list[WorkUnit], n_bins: int) -> list[list[WorkUnit]]:
+    """Worst-fit-decreasing: sort by estimated cost desc, always place into
+    the least-loaded bin (≙ KafkaWorkUnitPacker.java:256-288)."""
+    bins: list[list[WorkUnit]] = [[] for _ in range(max(1, n_bins))]
+    loads = [0.0] * len(bins)
+    for u in sorted(units, key=lambda x: -x.est_cost):
+        i = loads.index(min(loads))
+        bins[i].append(u)
+        loads[i] = wfd_load(
+            sum(x.est_cost for x in bins[i]), len(bins[i])
+        )
+    return [b for b in bins if b]
+
+
+class Planner:
+    """Plans one batch of work units over an ordered change-event source."""
+
+    def __init__(
+        self,
+        store: StateStore,
+        max_records_per_batch: int = 2_000_000,
+        max_records_per_unit: int = 250_000,
+        target_bins: int = 32,
+        hot_key_threshold: float = 0.10,
+    ):
+        self.store = store
+        self.max_records_per_batch = max_records_per_batch
+        self.max_records_per_unit = max_records_per_unit
+        self.target_bins = target_bins
+        self.hot_key_threshold = hot_key_threshold
+
+    # ------------------------------------------------------------- planning
+    def plan_batch(self, events: DataFrame) -> BatchPlan:
+        """Plan the next batch: (low, high] per event_group.
+
+        One aggregation over only-new events (seq pushdown) collecting
+        O(#groups) rows. The admission cap trims the GLOBAL high so a batch
+        never exceeds max_records_per_batch (events/batch sizing is the
+        explicit analog of maxOffsetsPerTrigger / the fork's work-unit record
+        cap).
+        """
+        batch_id = uuid.uuid4().hex[:16]
+
+        # 0. Unfinished prior batch? Re-plan those exact ranges first
+        # (watermark backoff: their high was never committed).
+        pending = self.store.pending_batches()
+        if pending:
+            prev = pending[0]
+            units = [
+                WorkUnit(
+                    workunit_id=f"{batch_id}-g{u.event_group}-r",
+                    event_group=u.event_group,
+                    low_seq=u.low_seq,
+                    high_seq=u.high_seq,
+                    est_records=max(1, u.high_seq - u.low_seq),
+                    est_cost=float(max(1, u.high_seq - u.low_seq)),
+                    retry_of=u.workunit_id,
+                )
+                for u in prev["units"]
+            ]
+            plan = BatchPlan(batch_id=prev["batch_id"], units=units)
+            plan.bins = bin_pack_wfd(units, self.target_bins)
+            plan.total_est_records = sum(u.est_records for u in units)
+            return plan
+
+        watermarks = self.store.last_committed_watermarks()
+        global_low = min(watermarks.values()) if watermarks else -1
+
+        # 1. What's newly available per group? (pushdown: seq > global_low)
+        fresh = events.filter(F.col("seq") > global_low)
+        stats_rows = (
+            fresh.groupBy("event_group")
+            .agg(
+                F.min("seq").alias("min_seq"),
+                F.max("seq").alias("max_seq"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
+        )
+        if not stats_rows:
+            return BatchPlan(batch_id=batch_id, units=[])
+
+        # 2. Global admission cap: seq is globally dense, so a seq span is a
+        # record count; trim high to low + cap.
+        lows = {
+            int(r["event_group"]): watermarks.get(int(r["event_group"]), -1)
+            for r in stats_rows
+        }
+        avail_high = max(int(r["max_seq"]) for r in stats_rows)
+        batch_low = min(lows.values())
+        batch_high = min(avail_high, batch_low + self.max_records_per_batch)
+
+        cost_stats = self.store.group_cost_stats()
+        units: list[WorkUnit] = []
+        for r in stats_rows:
+            g = int(r["event_group"])
+            lo = lows[g]
+            hi = batch_high
+            if hi <= lo:
+                continue
+            # per-group record estimate: the count was measured over the
+            # FULL fresh range; scale by the fraction the admission cap kept
+            span = hi - lo
+            full_span = max(1, int(r["max_seq"]) - lo)
+            frac = min(1.0, span / full_span)
+            est = min(math.ceil(int(r["cnt"]) * frac), span)
+            ms_per_rec = cost_stats.get(g, {}).get("avg_ms_per_record", 1.0)
+            # 3. Split oversized group ranges (≙ SimpleWatermark.getIntervals,
+            # gobblin-core/.../watermark/SimpleWatermark.java:48-105).
+            n_splits = max(1, math.ceil(est / self.max_records_per_unit))
+            step = math.ceil(span / n_splits)
+            s_lo = lo
+            i = 0
+            while s_lo < hi:
+                s_hi = min(hi, s_lo + step)
+                sub_est = max(1, est // n_splits)
+                units.append(
+                    WorkUnit(
+                        workunit_id=f"{batch_id}-g{g}-{i}",
+                        event_group=g,
+                        low_seq=s_lo,
+                        high_seq=s_hi,
+                        est_records=sub_est,
+                        est_cost=sub_est * ms_per_rec,
+                    )
+                )
+                s_lo = s_hi
+                i += 1
+
+        plan = BatchPlan(batch_id=batch_id, units=units)
+        plan.bins = bin_pack_wfd(units, self.target_bins)
+        plan.total_est_records = sum(u.est_records for u in units)
+        return plan
+
+    # ------------------------------------------------------------- skew scan
+    def detect_hot_repos(
+        self, batch_events: DataFrame, total: int | None = None
+    ) -> list[str]:
+        """Repos holding > hot_key_threshold of the batch — flagged for the
+        salted two-stage merge path. One small aggregation, O(#repos) result
+        capped at 64 rows."""
+        if total is None:
+            total = batch_events.count()
+        if total == 0:
+            return []
+        rows = (
+            batch_events.groupBy("repo")
+            .count()
+            .filter(F.col("count") > total * self.hot_key_threshold)
+            .orderBy(F.desc("count"))
+            .limit(64)
+            .collect()
+        )
+        return [r["repo"] for r in rows]
+
+    @staticmethod
+    def batch_predicate(units: list[WorkUnit]):
+        """The deterministic extract filter for a batch: OR of per-group
+        (low, high] ranges — re-execution-safe because the predicate is a
+        pure function of the plan (≙ KafkaExtractor skip-below-watermark
+        refetch dedup, KafkaExtractor.java:145-147)."""
+        pred = None
+        by_group: dict[int, list[WorkUnit]] = {}
+        for u in units:
+            by_group.setdefault(u.event_group, []).append(u)
+        for g, us in by_group.items():
+            lo = min(u.low_seq for u in us)
+            hi = max(u.high_seq for u in us)
+            p = (
+                (F.col("event_group") == g)
+                & (F.col("seq") > lo)
+                & (F.col("seq") <= hi)
+            )
+            pred = p if pred is None else (pred | p)
+        return pred if pred is not None else F.lit(False)

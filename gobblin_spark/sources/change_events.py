@@ -213,14 +213,30 @@ def generate_change_events(
         sv.cast("int").alias("schema_version"),
         F.col("version"),
     )
+    # Evolved payload column (FIXTURES.md §F3): size_bytes exists from
+    # schema v2 on; v1-era events carry null. The int→long widen happens in
+    # the TARGET schema (v2 int → v3 long), exercised by the registry.
+    events = events.withColumn(
+        "size_bytes",
+        F.when(
+            (F.col("schema_version") >= 2) & F.col("content").isNotNull(),
+            F.length("content").cast("long"),
+        ),
+    )
 
     if schema_change_seqs:
+        from pyspark.sql.types import StructField, StructType
+
+        nullable_schema = StructType(
+            [StructField(f.name, f.dataType, True) for f in events.schema.fields]
+        )
         markers = spark.createDataFrame(
             [
-                (int(at_seq), 0, "S", None, None, None, None, None, int(ver), 0)
+                (int(at_seq), 0, "S", None, None, None, None, None, int(ver), 0,
+                 None)
                 for at_seq, ver in sorted(schema_change_seqs.items())
             ],
-            schema=events.schema,
+            schema=nullable_schema,
         )
         events = events.unionByName(markers)
     return events
@@ -228,7 +244,7 @@ def generate_change_events(
 
 EVENT_SCHEMA_FIELDS = [
     "seq", "event_group", "op", "repo", "path",
-    "commit", "lang", "content", "schema_version", "version",
+    "commit", "lang", "content", "schema_version", "version", "size_bytes",
 ]
 
 

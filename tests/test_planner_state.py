@@ -1,0 +1,133 @@
+"""Planner math + state store unit tests
+(≙ SimpleWatermarkTest / KafkaSourceTest / AbstractSourceTest /
+FsDatasetStateStoreTest in the reference's unit tier)."""
+
+import pyspark.sql.functions as F
+
+from gobblin_spark.plans.planner import BatchPlan, Planner, WorkUnit, bin_pack_wfd
+from gobblin_spark.state.store import StateStore, WorkUnitState
+
+
+def wu(i, g, lo, hi, cost=None):
+    return WorkUnit(
+        workunit_id=f"u{i}",
+        event_group=g,
+        low_seq=lo,
+        high_seq=hi,
+        est_records=hi - lo,
+        est_cost=float(cost if cost is not None else hi - lo),
+    )
+
+
+def test_bin_pack_wfd_balances():
+    units = [wu(i, 0, 0, size) for i, size in
+             enumerate([100, 90, 50, 40, 30, 20, 10, 5])]
+    bins = bin_pack_wfd(units, 3)
+    loads = sorted(sum(u.est_cost for u in b) for b in bins)
+    assert len(bins) == 3
+    assert loads[-1] <= 150  # the 100 didn't get stacked with the 90
+    assert sum(loads) == sum(u.est_cost for u in units)
+
+
+def test_bin_pack_more_bins_than_units():
+    units = [wu(0, 0, 0, 10)]
+    bins = bin_pack_wfd(units, 8)
+    assert len(bins) == 1  # empty bins dropped
+
+
+def test_state_store_roundtrip(tmp_table_dir):
+    st = StateStore(tmp_table_dir)
+    units = [
+        WorkUnitState("w1", "b1", 0, -1, 100),
+        WorkUnitState("w2", "b1", 1, -1, 100),
+    ]
+    st.begin_batch("b1", units)
+    assert st.pending_batches()[0]["batch_id"] == "b1"
+    assert not st.is_committed("b1")
+    for u in units:
+        u.rows_read = 50
+        u.wall_ms = 10
+    assert st.commit_batch("b1", units, snapshot_version=2) is True
+    assert st.is_committed("b1")
+    assert st.pending_batches() == []
+    assert st.last_committed_watermarks() == {0: 100, 1: 100}
+    # second commit of same batch: verify-then-skip
+    assert st.commit_batch("b1", units, snapshot_version=2) is False
+    # cost stats from lineage
+    stats = st.group_cost_stats()
+    assert stats[0]["avg_ms_per_record"] > 0
+
+
+def test_watermark_backoff_semantics(tmp_table_dir):
+    """Uncommitted batch contributes NO watermark: its range is replanned
+    (≙ WorkUnitState.backoffActualHighWatermark)."""
+    st = StateStore(tmp_table_dir)
+    st.begin_batch("b1", [WorkUnitState("w1", "b1", 0, -1, 100)])
+    st.commit_batch("b1", [WorkUnitState("w1", "b1", 0, -1, 100)], 2)
+    st.begin_batch("b2", [WorkUnitState("w2", "b2", 0, 100, 200)])
+    # b2 never commits
+    assert st.last_committed_watermarks() == {0: 100}
+    assert st.pending_batches()[0]["batch_id"] == "b2"
+
+
+def test_plan_batch_ranges_and_cap(spark, tmp_table_dir):
+    st = StateStore(tmp_table_dir)
+    pl = Planner(st, max_records_per_batch=500, max_records_per_unit=100,
+                 target_bins=4)
+    events = spark.range(1000).select(
+        F.col("id").alias("seq"),
+        (F.col("id") % 4).cast("int").alias("event_group"),
+    )
+    plan = pl.plan_batch(events)
+    assert not plan.empty
+    # admission cap: no unit reaches past low+cap
+    assert max(u.high_seq for u in plan.units) <= 500
+    # split cap: units sized to ≤ max_records_per_unit (records, not span)
+    assert all(u.est_records <= 130 for u in plan.units)
+    for u in plan.units:
+        actual = events.filter(
+            (F.col("event_group") == u.event_group)
+            & (F.col("seq") > u.low_seq) & (F.col("seq") <= u.high_seq)
+        ).count()
+        assert actual <= 130
+    # bins cover all units
+    assert sum(len(b) for b in plan.bins) == len(plan.units)
+    # extract predicate hits exactly the planned rows
+    n = events.filter(Planner.batch_predicate(plan.units)).count()
+    assert n == 500  # (low=-1, high=-1+cap] = seq 0..499
+
+
+def test_plan_after_commit_advances(spark, tmp_table_dir):
+    st = StateStore(tmp_table_dir)
+    pl = Planner(st, max_records_per_batch=500, target_bins=4)
+    events = spark.range(1000).select(
+        F.col("id").alias("seq"),
+        (F.col("id") % 4).cast("int").alias("event_group"),
+    )
+    plan1 = pl.plan_batch(events)
+    st.begin_batch(plan1.batch_id, plan1.to_states())
+    st.commit_batch(plan1.batch_id, plan1.to_states(), 2)
+    plan2 = pl.plan_batch(events)
+    assert min(u.low_seq for u in plan2.units) == 499  # (low=-1, hi=499] first
+    assert max(u.high_seq for u in plan2.units) == 999
+    st.begin_batch(plan2.batch_id, plan2.to_states())
+    st.commit_batch(plan2.batch_id, plan2.to_states(), 3)
+    plan3 = pl.plan_batch(events)
+    assert plan3.empty
+
+
+def test_pending_batch_replanned_with_same_ranges(spark, tmp_table_dir):
+    st = StateStore(tmp_table_dir)
+    pl = Planner(st, max_records_per_batch=300, target_bins=4)
+    events = spark.range(600).select(
+        F.col("id").alias("seq"),
+        (F.col("id") % 2).cast("int").alias("event_group"),
+    )
+    plan1 = pl.plan_batch(events)
+    st.begin_batch(plan1.batch_id, plan1.to_states())
+    # crash — no commit. replan must reproduce plan1's ranges and id.
+    plan_retry = pl.plan_batch(events)
+    assert plan_retry.batch_id == plan1.batch_id
+    assert {(u.event_group, u.low_seq, u.high_seq) for u in plan_retry.units} \
+        == {(u.event_group, u.low_seq, u.high_seq) for u in plan1.units}
+    assert all(u.retry_of for u in plan_retry.units)
