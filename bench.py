@@ -1,0 +1,115 @@
+"""Benchmark harness: headline CDC MERGE-apply throughput + operator
+query timings at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "cdc_merge_apply_wall_sec", "value": <sec>, "unit": "sec",
+   "events_per_sec": <eps>, "queries": {...per-query sec...}, "sf": <sf>, ...}
+
+Protocol (per BASELINE.md): input pre-materialized to parquet so generation
+is excluded; the engine then runs its full batch loop (plan → convert →
+salted LWW MERGE → exactly-once commit); throughput = events applied /
+wall seconds of the loop. Scaling evidence across two parallelism levels is
+produced by scripts/bench_scaling.py into BENCH/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# events scale tied to sf: sf0.1 → 1.2M updates (≈ 2× lineitem rows)
+N_UPDATES = int(os.environ.get("BENCH_EVENTS", "1200000"))
+BATCHES = int(os.environ.get("BENCH_BATCHES", "4"))
+
+
+def main() -> None:
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.session import get_spark
+    from gobblin_spark.sources import generate_change_events
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = get_spark("gobblin-spark-bench", parallelism=CPUS,
+                      shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="gobblin_spark_bench_")
+    timings: dict[str, float] = {}
+
+    # ---- input materialization (excluded from the timed loop) ----
+    t0 = time.time()
+    ev_path = os.path.join(work, "events")
+    generate_change_events(
+        spark,
+        n_updates=N_UPDATES,
+        n_repos=200,
+        paths_per_repo=2000,
+        dup_frac=0.05,
+        delete_frac=0.05,
+        ooo_window=5000,
+        n_groups=CPUS,
+    ).write.mode("overwrite").parquet(ev_path)
+    events = spark.read.parquet(ev_path)
+    n_events = events.count()
+    timings["generate_input"] = round(time.time() - t0, 3)
+
+    # ---- warm-up batch (JIT/codegen; discarded) then timed loop ----
+    eng = CdcEngine(
+        spark,
+        events,
+        table_root=os.path.join(work, "table"),
+        state_root=os.path.join(work, "state"),
+        max_records_per_batch=max(1, n_events // BATCHES),
+        n_buckets=max(32, CPUS),
+    )
+    t_warm = time.time()
+    first = eng.run_batch()
+    timings["warmup_batch"] = round(time.time() - t_warm, 3)
+    applied = first.rows_read
+
+    t1 = time.time()
+    results = eng.run_until_caught_up()
+    wall = time.time() - t1
+    applied_timed = sum(r.rows_read for r in results)
+    timings["merge_apply_loop"] = round(wall, 3)
+    eps = applied_timed / wall if wall > 0 else 0.0
+
+    # ---- operator query timings at the sf dir ----
+    from gobblin_spark.queries import QUERIES
+
+    per_query: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        tq = time.time()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            per_query[name] = round(time.time() - tq, 3)
+        except Exception:
+            per_query[name] = -1.0
+
+    shutil.rmtree(work, ignore_errors=True)
+    out = {
+        "metric": "cdc_merge_apply_wall_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "events_total": n_events,
+        "events_applied_timed": applied_timed,
+        "events_applied_warmup": applied,
+        "events_per_sec": round(eps, 1),
+        "batches_timed": len(results),
+        "cpus": CPUS,
+        "sf": sf,
+        "queries": per_query,
+        "phase_timings": timings,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

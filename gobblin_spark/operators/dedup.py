@@ -176,7 +176,9 @@ def simhash_expr(text_col, bits: int = 32):
     """
     toks = tokens_expr(text_col)
     tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-    # accumulate per-bit counts via aggregate into an array of counts
+    # accumulate per-bit ±1 counts via aggregate into an array of counts.
+    # Bit extraction uses floor(h / 2^b) % 2 because shiftright needs a
+    # literal shift count; h < 2^32 so double math is exact.
     counts = F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("long"), bits),
@@ -185,20 +187,27 @@ def simhash_expr(text_col, bits: int = 32):
             F.transform(
                 F.sequence(F.lit(0), F.lit(bits - 1)),
                 lambda b: F.when(
-                    F.shiftright(tok_hash(t), b).bitwiseAND(F.lit(1)) == 1,
+                    F.pmod(
+                        F.floor(
+                            tok_hash(t) / F.pow(F.lit(2.0), b.cast("double"))
+                        ).cast("long"),
+                        F.lit(2),
+                    )
+                    == 1,
                     F.lit(1),
                 ).otherwise(F.lit(-1)).cast("long"),
             ),
             lambda c, d: c + d,
         ),
     )
-    # fold sign bits into a long
+    # fold sign bits into a long: sum of 2^b where count > 0
     return F.aggregate(
         F.zip_with(
             counts,
             F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, b: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long")),
+            lambda c, b: F.when(
+                c > 0, F.pow(F.lit(2.0), b.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
@@ -251,15 +260,26 @@ def simhash_dedup(
 
 # -------------------------------------------------- embedding cosine near-dup
 def cosine_expr(a, b, decimals: int = 6):
+    # cast BEFORE multiply: float×float then widen loses ulps vs an oracle
+    # that computes in double end-to-end; sums are sequential in array order
+    # on both engines, so double-throughout is bit-reproducible.
     dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: (x * x).cast("double")),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: (x * x).cast("double")),
-                            F.lit(0.0), lambda acc, x: acc + x))
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
     return F.round(dot / (na * nb), decimals)
 
 

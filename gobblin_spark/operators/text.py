@@ -32,13 +32,12 @@ def token_count_ws(text_col):
 
 
 def token_count_bpe_ish(text_col):
-    """BPE-ish token estimate: count word pieces + punctuation via regex —
-    splits on word boundaries like a byte-pair pre-tokenizer would."""
+    """BPE-ish token estimate: extract word/punct pieces like a byte-pair
+    pre-tokenizer, long words cost ceil(len/6) subword units. Uses
+    regexp_extract_all (RE2-portable — no lookarounds) so the SQL oracle
+    replays it exactly."""
     t = text_col if not isinstance(text_col, str) else F.col(text_col)
-    pieces = F.filter(
-        F.split(t, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), lambda x: x != ""
-    )
-    # long words cost extra subword units: ceil(len/6) heuristic
+    pieces = F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
     return F.aggregate(
         pieces,
         F.lit(0).cast("long"),

@@ -1,0 +1,703 @@
+"""Driver-facing query inventory: every operator family from SURVEY.md §2
+expressed over the driver's testdata tables, each with a DuckDB-replayable
+ANSI-SQL oracle (same column names, same values).
+
+Naming convention: q_<family>_<operator>. The Spark side and the SQL oracle
+are written against the SAME portable primitives (md5, regexp, list math) so
+the value-hash comparison is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# CDC / ingest-operator family (reference: KafkaSource planning, compaction
+# LWW dedup, TimeBasedWriterPartitioner, quality policies, forks, converters)
+# --------------------------------------------------------------------------
+
+def q_cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW merge semantics on the events stream: key=user_id, seq=event_id,
+    'error' events are tombstones. ≙ AvroKeyDedupReducer keep-last + delete
+    propagation (the engine's core MERGE, driver-checkable in SQL)."""
+    ev = load(spark, sf_dir, "events")
+    from gobblin_spark.lakehouse.merge import lww_reduce
+
+    stream = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    winners = lww_reduce(stream, ["user_id"], "seq")
+    return (
+        winners.filter(F.col("op") != "D")
+        .select("user_id", F.col("seq").alias("last_seq"),
+                "event_type", F.round("value", 6).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+SQL_CDC_LWW = """
+WITH ranked AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+  FROM events)
+SELECT user_id, seq AS last_seq, event_type, round(value, 6) AS value
+FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id
+"""
+
+
+def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics through the two-stage SALTED reduce path (hot-key
+    handling) — must be value-identical to the plain path/oracle."""
+    ev = load(spark, sf_dir, "events")
+    from gobblin_spark.lakehouse.merge import lww_reduce
+
+    stream = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    winners = lww_reduce(stream, ["user_id"], "seq", salt_buckets=8)
+    return (
+        winners.filter(F.col("op") != "D")
+        .select("user_id", F.col("seq").alias("last_seq"),
+                "event_type", F.round("value", 6).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+def q_plan_watermark_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planner's work-unit scan: per stream partition (user_id % 8),
+    (min,max,count) over events above a committed watermark
+    (≙ KafkaSource.getWorkunits offset-range computation)."""
+    ev = load(spark, sf_dir, "events")
+    watermark = 1000
+    return (
+        ev.filter(F.col("event_id") > watermark)
+        .groupBy(F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("event_group"))
+        .agg(
+            F.min("event_id").alias("low_seq"),
+            F.max("event_id").alias("high_seq"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_group")
+    )
+
+
+SQL_PLAN_WATERMARK = """
+SELECT CAST(user_id % 8 AS INT) AS event_group,
+       MIN(event_id) AS low_seq, MAX(event_id) AS high_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events WHERE event_id > 1000
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_converter_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converter chain: projection + equality filter + regex filter
+    (≙ AvroProjectionConverter + AvroFilterConverter + StringFilterConverter)."""
+    li = load(spark, sf_dir, "lineitem")
+    from gobblin_spark.operators.converters import build_chain
+
+    chain = build_chain(
+        [
+            {"name": "projection",
+             "keep": ["l_orderkey", "l_partkey", "l_returnflag",
+                      "l_linestatus", "l_quantity"]},
+            {"name": "filter", "field": "l_returnflag", "value": "A"},
+            {"name": "regex_filter", "field": "l_linestatus", "pattern": "^(F|O)$"},
+        ]
+    )
+    out = chain.convert(li)
+    return out.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    ).orderBy("l_linestatus")
+
+
+SQL_CONVERTER_PROJ = """
+SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(SUM(l_quantity), 4) AS sum_qty
+FROM lineitem
+WHERE l_returnflag = 'A' AND regexp_matches(l_linestatus, '^(F|O)$')
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_converter_string_splitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→many converter: split document text into word records, count top
+    words (≙ StringSplitterConverter / FlattenConverter explode)."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.converters import StringSplitterConverter
+
+    words = StringSplitterConverter(field="text", delimiter=" ",
+                                    out_col="word").convert(
+        docs.select("doc_id", "text")
+    )
+    return (
+        words.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+        .orderBy(F.desc("n"), "word")
+    )
+
+
+SQL_STRING_SPLITTER = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word HAVING COUNT(*) >= 100
+ORDER BY n DESC, word
+"""
+
+
+def q_converter_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parsing (≙ JsonIntermediateToAvroConverter): extract the
+    'k' field from events.props, aggregate."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_FROM_JSON = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+       MIN(CAST(props->>'k' AS INT)) AS min_k,
+       MAX(CAST(props->>'k' AS INT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_writer_time_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based writer partitioning (≙ TimeBasedWriterPartitioner
+    yyyy/MM/dd/HH path derivation): events per partition path."""
+    ev = load(spark, sf_dir, "events")
+    part = F.date_format(F.col("ts"), "yyyy/MM/dd/HH").alias("partition_path")
+    return (
+        ev.select(part)
+        .groupBy("partition_path")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(F.col("n_records") >= 5)
+        .orderBy("partition_path")
+    )
+
+
+SQL_TIME_PARTITIONER = """
+SELECT strftime(ts, '%Y/%m/%d/%H') AS partition_path,
+       CAST(COUNT(*) AS BIGINT) AS n_records
+FROM events GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY 1
+"""
+
+
+def q_quality_row_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quality gate accounting (≙ RowLevelPolicy / err-file split):
+    per policy, violation counts over events."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("value") < 0).cast("long")).alias("neg_value"),
+        F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
+        F.sum((~F.col("event_type").isin("click", "view", "purchase", "error"))
+              .cast("long")).alias("bad_type"),
+    )
+
+
+SQL_QUALITY = """
+SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_value,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+       CAST(SUM(CASE WHEN event_type NOT IN ('click','view','purchase','error')
+                THEN 1 ELSE 0 END) AS BIGINT) AS bad_type
+FROM events
+"""
+
+
+def q_fork_branch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork routing audit (≙ ForkOperator boolean vector): how many records
+    each branch receives, branches may overlap."""
+    ev = load(spark, sf_dir, "events")
+    from gobblin_spark.operators.fork import fork
+
+    branches = fork(
+        ev,
+        [
+            F.col("event_type") == "click",
+            F.col("value") > 50.0,
+            None,  # identity branch
+        ],
+        cache=False,
+    )
+    rows = [b.agg(F.count(F.lit(1)).alias("n")) for b in branches]
+    out = (
+        rows[0].select(F.lit("clicks").alias("branch"), "n")
+        .unionAll(rows[1].select(F.lit("high_value").alias("branch"), "n"))
+        .unionAll(rows[2].select(F.lit("identity").alias("branch"), "n"))
+    )
+    return out.orderBy("branch")
+
+
+SQL_FORK = """
+SELECT 'clicks' AS branch, CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE event_type='click'
+UNION ALL
+SELECT 'high_value', CAST(COUNT(*) AS BIGINT) FROM events WHERE value > 50.0
+UNION ALL
+SELECT 'identity', CAST(COUNT(*) AS BIGINT) FROM events
+ORDER BY branch
+"""
+
+
+def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup (the time-bucket aggregation the reference does via
+    partition paths; here as a real agg for the scale path)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .filter(F.col("n") >= 3)
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_ROLLUP = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(value), 4) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data ops: dedup family / similarity / text analysis
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content-hash groups (hash-groupBy): canonical row =
+    min id per group, pairs (kept_id, dup_id) for every shed duplicate.
+    Keyed on (user_id, event_type) over events — ≙ compaction key-dedup
+    (MRCompactorAvroKeyDedupJobRunner primary-key fields)."""
+    ev = load(spark, sf_dir, "events")
+    from gobblin_spark.operators.dedup import exact_dedup
+
+    pairs = exact_dedup(ev, ["user_id", "event_type"], "event_id")
+    return pairs.groupBy("kept_id").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("dup_id").alias("first_dup"),
+        F.max("dup_id").alias("last_dup"),
+    ).orderBy("kept_id")
+
+
+SQL_DEDUP_EXACT = """
+WITH h AS (SELECT event_id,
+                  md5(COALESCE(CAST(user_id AS VARCHAR), chr(0)) || chr(31)
+                      || COALESCE(event_type, chr(0))) AS hh
+           FROM events),
+g AS (SELECT hh, MIN(event_id) AS kept_id FROM h GROUP BY hh),
+p AS (SELECT g.kept_id, h.event_id AS dup_id
+      FROM h JOIN g USING (hh) WHERE h.event_id <> g.kept_id)
+SELECT kept_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(dup_id) AS first_dup, MAX(dup_id) AS last_dup
+FROM p GROUP BY kept_id ORDER BY kept_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force word-3-gram Jaccard near-dup pairs (exact oracle tier)."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                               threshold=0.12).orderBy("id_a", "id_b")
+
+
+# DuckDB: same tokenization (lower, split on whitespace runs, drop empties),
+# same 3-gram construction, distinct, then set Jaccard.
+_DUCK_SHINGLES = """
+SELECT doc_id,
+       list_distinct(
+         CASE WHEN len(toks) >= 3 THEN
+           [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]
+         ELSE [] END) AS sh
+FROM (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents)
+"""
+
+SQL_NGRAM_JACCARD = f"""
+WITH s AS ({_DUCK_SHINGLES})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
+             6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.12
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified by true Jaccard — the scale-path
+    dedup. md5-based min-hashing is replayed exactly by the SQL oracle."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, n_hashes=12, bands=4, threshold=0.1
+    ).orderBy("id_a", "id_b")
+
+
+def _duck_minhash_sql(n_hashes: int = 12, bands: int = 4,
+                      threshold: float = 0.1) -> str:
+    rpb = n_hashes // bands
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, x -> md5('{i}:' || x)), 'min') AS mh{i}"
+        for i in range(n_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', '{b}', {cols})) AS band{b}".format(
+            b=b, cols=", ".join(f"mh{b * rpb + j}" for j in range(rpb))
+        )
+        for b in range(bands)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(bands))
+    return f"""
+WITH s0 AS ({_DUCK_SHINGLES}),
+s AS (SELECT doc_id, CASE WHEN len(sh)=0 THEN [''] ELSE sh END AS sh FROM s0),
+sig AS (SELECT doc_id, sh, {mh_cols} FROM s),
+banded AS (SELECT doc_id, sh, [{band_list}] AS bands
+           FROM (SELECT doc_id, sh, {band_exprs} FROM sig)),
+ex AS (SELECT doc_id, sh, unnest(bands) AS band FROM banded),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.sh AS sh_a, b.sh AS sh_b
+         FROM ex a JOIN ex b ON a.band = b.band AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE), 6)
+       AS jaccard
+FROM cand
+WHERE len(list_distinct(list_concat(sh_a, sh_b))) > 0
+  AND CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+      CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (md5-derived per-token hash,
+    bit-exact across engines)."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.dedup import simhash_expr
+
+    return docs.select(
+        "doc_id", simhash_expr(F.col("text"), bits=32).alias("simhash")
+    ).orderBy("doc_id")
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS toks
+  FROM documents),
+th AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM th),
+bits AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+  FROM hh, (SELECT unnest(range(0, 32)) AS b) b
+  GROUP BY doc_id, b.b)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force, double math, rounded)."""
+    emb = load(spark, sf_dir, "embeddings")
+    from gobblin_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+SQL_EMB_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: queries = vec_id < 5."""
+    emb = load(spark, sf_dir, "embeddings")
+    from gobblin_spark.operators.similarity import brute_force_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+SQL_SIM_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM e, q),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword estimate +
+    mean word length + punctuation ratio."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators import text as T
+
+    return docs.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        T.token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+        F.round(T.mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_STATS = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+    regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]') AS pieces
+  FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens_ws,
+  CAST(list_sum(list_transform(pieces,
+       p -> CAST(ceil(length(p) / 6.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe,
+  round(CASE WHEN len(toks) > 0 THEN
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        / len(toks) ELSE 0.0 END, 6) AS mean_word_len,
+  round(CASE WHEN length(text) > 0 THEN
+        CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+             AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS punct_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + stopword ratio per document."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators import text as T
+
+    return docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        F.round(T.stopword_ratio(F.col("text"), "en"), 6).alias("en_sw_ratio"),
+    ).orderBy("doc_id")
+
+
+def _duck_langid_sql() -> str:
+    from gobblin_spark.operators.text import STOPWORDS
+
+    score_cols = []
+    for lang, words in STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"CAST(len(list_filter(toks, x -> list_contains([{arr}], x))) AS DOUBLE)"
+            f" AS s_{lang}"
+        )
+    langs = list(STOPWORDS)
+    # argmax with Spark's array_max(struct(score,lang)) tie-break:
+    # max lexicographic (score, lang) — replicate via ORDER BY (score, lang).
+    struct_list = ", ".join(f"(s_{l}, '{l}')" for l in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+s AS (SELECT doc_id, toks, {', '.join(score_cols)} FROM t),
+best AS (
+  SELECT doc_id, toks,
+    list_aggregate([{struct_list}], 'max') AS b,
+    s_en
+  FROM s)
+SELECT doc_id,
+  CASE WHEN b[1] > 0 THEN b[2] ELSE 'und' END AS lang_pred,
+  round(CASE WHEN len(toks) > 0 THEN s_en / len(toks) ELSE 0.0 END, 6)
+    AS en_sw_ratio
+FROM best ORDER BY doc_id
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact md5 of normalized text + min-shingle
+    sketch digest."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.text import fingerprint
+
+    fp = fingerprint(F.col("text"), 3)
+    return docs.select(
+        "doc_id", fp["exact"].alias("fp_exact"), fp["sketch"].alias("fp_sketch")
+    ).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = f"""
+WITH s AS ({_DUCK_SHINGLES}),
+n AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ex
+      FROM documents)
+SELECT n.doc_id, n.ex AS fp_exact,
+       COALESCE(list_aggregate(list_transform(s.sh, x -> md5(x)), 'min'),
+                n.ex) AS fp_sketch
+FROM n JOIN s ON n.doc_id = s.doc_id
+ORDER BY n.doc_id
+"""
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.text import quality_score
+
+    return docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+def _duck_quality_sql() -> str:
+    from gobblin_spark.operators.text import STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS DOUBLE) AS n,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)/len(toks)
+      ELSE 0.0 END AS mwl,
+    CASE WHEN length(text) > 0 THEN
+      CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+           AS DOUBLE) / length(text) ELSE 0.0 END AS pr,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(toks, x -> list_contains([{en}], x))) AS DOUBLE)
+      / len(toks) ELSE 0.0 END AS swr
+  FROM t)
+SELECT doc_id,
+  round(0.4 * least(n / 64.0, 1.0)
+      + 0.2 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
+      + 0.2 * (1.0 - least(pr * 4.0, 1.0))
+      + 0.2 * least(swr * 5.0, 1.0), 6) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_lww_final_state": q_cdc_lww_final_state,
+    "cdc_lww_salted": q_cdc_lww_salted,
+    "plan_watermark_ranges": q_plan_watermark_ranges,
+    "converter_projection_filter": q_converter_projection_filter,
+    "converter_string_splitter": q_converter_string_splitter,
+    "converter_from_json": q_converter_from_json,
+    "writer_time_partitioner": q_writer_time_partitioner,
+    "quality_row_policies": q_quality_row_policies,
+    "fork_branch_counts": q_fork_branch_counts,
+    "rollup_hourly": q_rollup_hourly,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "similarity_topk": q_similarity_topk,
+    "text_token_stats": q_text_token_stats,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "text_quality_score": q_text_quality_score,
+}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {
+        "cdc_lww_final_state": SQL_CDC_LWW,
+        "cdc_lww_salted": SQL_CDC_LWW,  # same semantics, salted path
+        "plan_watermark_ranges": SQL_PLAN_WATERMARK,
+        "converter_projection_filter": SQL_CONVERTER_PROJ,
+        "converter_string_splitter": SQL_STRING_SPLITTER,
+        "converter_from_json": SQL_FROM_JSON,
+        "writer_time_partitioner": SQL_TIME_PARTITIONER,
+        "quality_row_policies": SQL_QUALITY,
+        "fork_branch_counts": SQL_FORK,
+        "rollup_hourly": SQL_ROLLUP,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+        "dedup_minhash_lsh": _duck_minhash_sql(),
+        "dedup_simhash": SQL_SIMHASH,
+        "embedding_neardup": SQL_EMB_NEARDUP,
+        "similarity_topk": SQL_SIM_TOPK,
+        "text_token_stats": SQL_TOKEN_STATS,
+        "text_langid": _duck_langid_sql(),
+        "text_fingerprint": SQL_FINGERPRINT,
+        "text_quality_score": _duck_quality_sql(),
+    }

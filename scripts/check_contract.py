@@ -1,0 +1,93 @@
+"""Replicates the driver's correctness gate locally: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
+column names, and order-insensitive value hashes. Usage:
+
+    python scripts/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def value_hash(pdf: pd.DataFrame) -> str:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = []
+    for _, row in pdf.iterrows():
+        parts = []
+        for c in cols:
+            v = row[c]
+            if pd.isna(v):
+                parts.append("NULL")
+            elif isinstance(v, float):
+                parts.append(f"{v:.9g}")
+            else:
+                parts.append(str(v))
+        rows.append("|".join(parts))
+    rows.sort()
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from gobblin_spark.queries import QUERIES, TABLES, oracle_sqls
+    from gobblin_spark.session import get_spark
+
+    spark = get_spark("contract-check", parallelism=16, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    sqls = oracle_sqls()
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"[FAIL] {name}: spark error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        try:
+            opdf = con.execute(sqls[name]).df()
+        except Exception as e:
+            print(f"[FAIL] {name}: duckdb error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(spdf) != len(opdf):
+            problems.append(f"rows {len(spdf)} vs {len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(f"cols {sorted(spdf.columns)} vs {sorted(opdf.columns)}")
+        if not problems and value_hash(spdf) != value_hash(opdf):
+            problems.append("value hash mismatch")
+            # show a diff sample
+            s = spdf.sort_values(sorted(spdf.columns)).reset_index(drop=True)
+            o = opdf[spdf.columns].sort_values(sorted(opdf.columns)).reset_index(drop=True)
+            for i in range(min(len(s), len(o))):
+                if not s.iloc[i].equals(o.iloc[i]):
+                    print(f"  first diff row {i}:\n   spark: {s.iloc[i].to_dict()}\n   duck : {o.iloc[i].to_dict()}")
+                    break
+        if problems:
+            print(f"[FAIL] {name}: {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"[ OK ] {name}: {len(spdf)} rows")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all queries match")
+
+
+if __name__ == "__main__":
+    main()
