@@ -1,0 +1,127 @@
+"""spark-submit entry point for the CDC engine.
+
+The reference launches jobs from a properties file via CLI/MR launchers
+(gobblin-runtime/src/main/java/gobblin/runtime/local/CliLocalJobLauncher.java,
+mapreduce/CliMRJobLauncher.java); the Spark-native equivalent is one driver
+script submitted with the package zip:
+
+    scripts/package.sh                        # builds dist/gobblin_spark.zip
+    spark-submit --py-files dist/gobblin_spark.zip \
+        --master <cluster-master> \
+        scripts/run_job.py ingest \
+        --events /path/to/change_events \
+        --table  /lake/target_table \
+        --state  /lake/_state/target_table \
+        --max-records-per-batch 50000000
+
+On a real cluster the session master/executors come from spark-submit;
+this module never builds its own SparkSession unless --local-cores is given
+(dev convenience). The job is resumable: rerunning the same command continues
+from the last committed watermark, and a crash mid-batch is re-applied
+idempotently (verify-then-skip against the commit log).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _get_session(args):
+    from pyspark.sql import SparkSession
+
+    if args.local_cores:
+        from gobblin_spark.session import get_spark
+
+        return get_spark("gobblin-spark-job", parallelism=args.local_cores,
+                         shuffle_partitions=max(16, args.local_cores))
+    return SparkSession.builder.getOrCreate()
+
+
+def cmd_ingest(args) -> int:
+    from gobblin_spark.engine import CdcEngine
+
+    spark = _get_session(args)
+    events = spark.read.parquet(args.events)
+    eng = CdcEngine(
+        spark,
+        events,
+        table_root=args.table,
+        state_root=args.state,
+        max_records_per_batch=args.max_records_per_batch,
+        max_records_per_unit=args.max_records_per_unit,
+        salt_buckets=args.salt_buckets,
+        n_buckets=args.buckets,
+    )
+    t0 = time.time()
+    results = eng.run_until_caught_up(max_batches=args.max_batches)
+    wall = time.time() - t0
+    applied = sum(r.rows_read for r in results)
+    print(json.dumps({
+        "batches": len(results),
+        "events_applied": applied,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(applied / wall, 1) if wall > 0 else 0.0,
+        "snapshot_version": eng.table.current_version(),
+        "table_stats": eng.table.stats(),
+    }))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from gobblin_spark.state.store import StateStore
+
+    store = StateStore(args.state)
+    wm = store.last_committed_watermarks()
+    print(json.dumps({
+        "committed_batches": len(store.committed_batches()),
+        "pending_batches": [b["batch_id"] for b in store.pending_batches()],
+        "watermarks": {str(k): v for k, v in sorted(wm.items())},
+        "group_cost_stats": store.group_cost_stats(),
+    }, indent=2))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    from gobblin_spark.lakehouse import LakeTable
+
+    spark = _get_session(args)
+    removed = LakeTable(spark, args.table).vacuum()
+    print(json.dumps({"orphan_files_removed": removed}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="gobblin_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="run the CDC batch loop to caught-up")
+    ing.add_argument("--events", required=True, help="change-event parquet path")
+    ing.add_argument("--table", required=True, help="target LakeTable root")
+    ing.add_argument("--state", required=True, help="checkpoint/state root")
+    ing.add_argument("--max-records-per-batch", type=int, default=2_000_000)
+    ing.add_argument("--max-records-per-unit", type=int, default=250_000)
+    ing.add_argument("--salt-buckets", type=int, default=8)
+    ing.add_argument("--buckets", type=int, default=32,
+                     help="hash buckets of a newly created target table")
+    ing.add_argument("--max-batches", type=int, default=1000)
+    ing.add_argument("--local-cores", type=int, default=0,
+                     help="dev only: build a local[N] session instead of "
+                          "using the spark-submit session")
+
+    st = sub.add_parser("status", help="print watermarks + pending batches")
+    st.add_argument("--state", required=True)
+
+    vac = sub.add_parser("vacuum", help="remove orphaned data files")
+    vac.add_argument("--table", required=True)
+    vac.add_argument("--local-cores", type=int, default=0)
+
+    args = p.parse_args(argv)
+    return {"ingest": cmd_ingest, "status": cmd_status,
+            "vacuum": cmd_vacuum}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

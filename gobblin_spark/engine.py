@@ -105,6 +105,37 @@ def target_schema_for(registry: SchemaRegistry, version: int) -> StructType:
     )
 
 
+def evolve_target_to(table: "LakeTable", registry: SchemaRegistry,
+                     version: int) -> None:
+    """Metadata-only schema evolution of a target table, one registry step
+    at a time so the lineage (schema_log) matches the registry ops
+    (≙ the reference's per-schema-version Hive tables,
+    StunlockPartitionedHiveDataPublisher.java:58-72 — done the lakehouse
+    way: one table, evolving in place)."""
+    snap = table.snapshot()
+    cur = int(snap.properties.get("registry_version", 1))
+    while cur < version:
+        nxt = cur + 1
+        log = []
+        for op in registry.ops_between(cur, nxt):
+            if op["op"] == "rename":
+                log.append({"v": nxt, "op": "rename", "old": op["old"],
+                            "new": op["new"]})
+            else:
+                log.append({"v": nxt, "op": op["op"], "col": op["col"],
+                            "type": op.get("type")})
+        snap = table.commit(
+            keep_files=snap.files,
+            add_files=[],
+            schema=target_schema_for(registry, nxt),
+            schema_version=nxt,
+            schema_log_append=log,
+            properties={"registry_version": nxt},
+            expected_version=snap.version,
+        )
+        cur = nxt
+
+
 @dataclass
 class BatchResult:
     batch_id: str
@@ -170,40 +201,6 @@ class CdcEngine:
     def current_state(self) -> DataFrame:
         return read_current(self.table)
 
-    # -------------------------------------------------------------- evolve
-    def _evolve_target_to(self, version: int) -> None:
-        """Metadata-only schema evolution of the target table, one registry
-        step at a time so the lineage (schema_log) matches the registry ops.
-        (≙ the reference's per-schema-version Hive tables,
-        StunlockPartitionedHiveDataPublisher.java:58-72 — done the lakehouse
-        way: one table, evolving in place.)"""
-        snap = self.table.snapshot()
-        cur = int(snap.properties.get("registry_version", 1))
-        while cur < version:
-            nxt = cur + 1
-            ops = self.registry.ops_between(cur, nxt)
-            log = []
-            for op in ops:
-                if op["op"] == "add":
-                    log.append({"v": nxt, "op": "add", "col": op["col"],
-                                "type": op.get("type")})
-                elif op["op"] == "widen":
-                    log.append({"v": nxt, "op": "widen", "col": op["col"],
-                                "type": op.get("type")})
-                elif op["op"] == "rename":
-                    log.append({"v": nxt, "op": "rename", "old": op["old"],
-                                "new": op["new"]})
-            snap = self.table.commit(
-                keep_files=snap.files,
-                add_files=[],
-                schema=target_schema_for(self.registry, nxt),
-                schema_version=nxt,
-                schema_log_append=log,
-                properties={"registry_version": nxt},
-                expected_version=snap.version,
-            )
-            cur = nxt
-
     # ---------------------------------------------------------------- batch
     def run_batch(self) -> BatchResult:
         t0 = time.time()
@@ -230,7 +227,7 @@ class CdcEngine:
         sv_max = batch.agg(F.max("schema_version")).collect()[0][0] or 1
         cur_v = int(self.table.snapshot().properties.get("registry_version", 1))
         if sv_max > cur_v:
-            self._evolve_target_to(int(sv_max))
+            evolve_target_to(self.table, self.registry, int(sv_max))
 
         # Convert: conform mixed-version rows to the latest target schema,
         # then any user converter chain.

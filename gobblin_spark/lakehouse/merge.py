@@ -15,14 +15,17 @@ the reference's analog is late-data recompaction
 (gobblin-compaction/.../mapreduce/MRCompactor.java:147-157).
 
 Physical plan (designed for 100 TB):
-  1. in-batch LWW reduce — ONE shuffle by key, with map-side partial
-     aggregation; optional explicit two-stage salting for flagged hot keys.
-  2. bucket pruning — only table buckets containing batch keys are read and
-     rewritten (k/B of the table for k affected buckets).
-  3. union(target-subset, winners) → LWW again → rewrite affected buckets.
+  1. bucket pruning — only table buckets containing batch keys are read and
+     rewritten (k/B of the table for k affected buckets); the bucket set is
+     a distinct over a hash expression on the raw batch (no reduce needed).
+  2. union(target-subset, normalized batch) → ONE LWW reduce by key.
      No join: a union + aggregate has strictly less shuffle than an outer
-     join and the same result, and both sides are already bucket-clustered.
-  4. atomic snapshot commit (kept files + new files).
+     join and the same result. No separate in-batch pre-reduce either:
+     max_by is a declarative aggregate, so Spark's partial (map-side)
+     aggregation already collapses duplicate keys before the single
+     shuffle — a pre-reduce would just add a second shuffle of the batch.
+     Optional explicit two-stage salting for flagged hot keys.
+  3. atomic snapshot commit (kept files + new files).
 
 Idempotent: re-applying the same batch yields byte-identical visible state
 (max-seq is order- and duplicate-insensitive), which is what makes crash
@@ -65,7 +68,8 @@ def lww_reduce(
     """
     key_cols = [F.col(k) for k in keys]
     payload = F.struct(*[F.col(c) for c in df.columns])
-    # op-rank breaks exact seq ties deterministically (D > U > I > S).
+    # op-rank breaks exact seq ties deterministically (D > U > I > S); after
+    # normalization the delete bit lives in __deleted instead of op.
     if "op" in df.columns:
         op_rank = (
             F.when(F.col("op") == "D", 3)
@@ -73,6 +77,8 @@ def lww_reduce(
             .when(F.col("op") == "I", 1)
             .otherwise(0)
         )
+    elif DELETED_COL in df.columns:
+        op_rank = F.when(F.col(DELETED_COL), 3).otherwise(2)
     else:
         op_rank = F.lit(0)
     order = F.struct(F.col(seq_col).alias("s"), op_rank.alias("r"))
@@ -141,29 +147,31 @@ def merge_lww(
         if f.name not in (SEQ_COL, DELETED_COL)
     ]
 
-    # 1. In-batch LWW winners, normalized to target row shape.
-    winners = lww_reduce(batch, keys, seq_col, salt_buckets, hot_keys)
-    winners_rows = winners.select(
+    # 1. Normalize batch rows to the target row shape (delete → tombstone).
+    batch_rows = batch.select(
         *[F.col(c) for c in payload_cols],
         F.col(seq_col).cast("long").alias(SEQ_COL),
         (F.col(op_col) == F.lit("D")).alias(DELETED_COL),
     )
 
     # 2. Bucket pruning: which table buckets do batch keys hash into?
-    affected = table.buckets_of(winners)
+    # (distinct over a hash expr on the raw batch — no reduce, O(B) result)
+    affected = table.buckets_of(batch)
     keep = [f for f in snap.files if f.bucket not in affected]
     target_subset = table.read(buckets=affected)
 
-    # 3. Union + final LWW (tombstones included on both sides).
-    combined = target_subset.unionByName(winners_rows)
+    # 3. Union + ONE LWW reduce (tombstones included on both sides; partial
+    # aggregation collapses in-batch duplicate keys map-side, so a separate
+    # in-batch pre-reduce would only add a shuffle).
+    hot_norm = hot_keys.select(*keys).distinct() if hot_keys is not None else None
+    combined = target_subset.unionByName(batch_rows)
     final = lww_reduce(
-        combined, keys, SEQ_COL, salt_buckets=0
-    )  # ties prefer D via op-rank? system rows have no 'op' col — identical
-    # rows on seq ties, so plain max_by is deterministic enough here.
+        combined, keys, SEQ_COL,
+        salt_buckets=salt_buckets, hot_keys=hot_norm,
+    )
 
-    # Drop tombstones that never had a live target row *and* whose seq is
-    # already final — we still keep them (as tombstones) so later
-    # out-of-order updates can't resurrect; physical drop happens in GC.
+    # Tombstones whose key never had a live target row are still kept so
+    # later out-of-order updates can't resurrect; physical drop is GC's job.
     new_files = table.write_data_files(final, seq_col=SEQ_COL)
     return table.commit(
         keep_files=keep,

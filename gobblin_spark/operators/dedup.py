@@ -77,8 +77,12 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b."""
     s = df.select(F.col(id_col).alias("__id"),
                   shingles_expr(text_col, n).alias("__sh"))
-    a = s.alias("a")
-    b = s.alias("b")
+    # Stream side repartitioned so the O(n²) comparison parallelizes even
+    # when the source is a single file; build side broadcast (oracle tier —
+    # only ever run on samples, the scale path is minhash_lsh_pairs).
+    spark = df.sparkSession
+    a = s.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = F.broadcast(s).alias("b")
     pairs = a.join(b, F.col(f"a.__id") < F.col(f"b.__id"))
     jac = jaccard_expr(F.col("a.__sh"), F.col("b.__sh"))
     return (
@@ -289,7 +293,9 @@ def embedding_neardup_pairs(
     """Brute-force cosine near-dup pairs (exact; O(n²) — the oracle/baseline;
     LSH-bucketed scale path in gobblin_spark.operators.similarity)."""
     s = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    a, b = s.alias("a"), s.alias("b")
+    spark = df.sparkSession
+    a = s.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = F.broadcast(s).alias("b")
     cos = cosine_expr(F.col("a.__v"), F.col("b.__v"))
     return (
         a.join(b, F.col("a.__id") < F.col("b.__id"))

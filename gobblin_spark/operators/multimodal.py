@@ -23,7 +23,7 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "doc_id long, media_type string, feat_dim int, features array<float>, "
+    "doc_id long, media_type string, feat_dim int, features array<double>, "
     "decode_ok boolean"
 )
 
@@ -32,35 +32,44 @@ FRAME_SCHEMA = (
 )
 
 
+def _md5_slice_int(col, start: int) -> F.Column:
+    """Portable deterministic int from an md5 slice (8 hex chars) — the same
+    value is computable in any engine with md5/substr, so media fixtures are
+    oracle-checkable."""
+    return F.conv(F.substring(F.md5(col), start, 8), 16, 10).cast("long")
+
+
 def synth_media(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Deterministic fake media rows derived from a text table — gives the
-    multimodal path real bytes to move (payload = repeated sha of the text),
-    with plausible metadata."""
+    multimodal path real bytes to move (payload = repeated sha of the text,
+    512 B), with plausible metadata. All derivations are md5/sha-based so an
+    independent SQL engine can replay them exactly."""
     t = F.col(text_col)
-    payload = F.to_binary(
-        F.repeat(F.sha2(t, 256), 8), F.lit("hex")
-    )  # 1 KiB deterministic pseudo-payload
+    payload = F.to_binary(F.repeat(F.sha2(t, 256), 8), F.lit("hex"))
     mt = F.element_at(
         F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
-        (F.pmod(F.xxhash64(t), F.lit(3)) + 1).cast("int"),
+        (F.pmod(_md5_slice_int(t, 1), F.lit(3)) + 1).cast("int"),
     )
     return df.select(
         F.col(id_col).alias("doc_id"),
         mt.alias("media_type"),
-        (F.pmod(F.xxhash64(t, F.lit(1)), F.lit(1920)) + 1).cast("int").alias("width"),
-        (F.pmod(F.xxhash64(t, F.lit(2)), F.lit(1080)) + 1).cast("int").alias("height"),
-        (F.pmod(F.xxhash64(t, F.lit(3)), F.lit(60000))).cast("int").alias("duration_ms"),
+        (F.pmod(_md5_slice_int(t, 9), F.lit(1920)) + 1).cast("int").alias("width"),
+        (F.pmod(_md5_slice_int(t, 17), F.lit(1080)) + 1).cast("int").alias("height"),
+        F.pmod(_md5_slice_int(t, 25), F.lit(60000)).cast("int").alias("duration_ms"),
         payload.alias("payload"),
     )
 
 
 def _decode_impl(payload: bytes, media_type: str) -> bytes:
     """STUB — the real decode (PIL/ffmpeg/soundfile) is unavailable in this
-    container. Deterministic fake: the 'decoded' buffer is sha512(payload),
-    stable across runs so tests can assert exact outputs. Replace with a
-    real codec to productionize; the Spark plumbing does not change."""
-    return hashlib.sha512(payload).digest()
+    container. Deterministic fake: the 'decoded' buffer is
+    sha256(payload) + sha256(payload + 0x01) (64 B), stable across runs AND
+    replayable by a SQL oracle, so the whole multimodal pipeline stays under
+    the value-hash correctness gate. Replace with a real codec to
+    productionize; the Spark plumbing does not change."""
+    return (hashlib.sha256(payload).digest()
+            + hashlib.sha256(payload + b"\x01").digest())
 
 
 def extract_features(df: DataFrame, feat_dim: int = 16,

@@ -35,6 +35,8 @@ def brute_force_topk(
     Returns (query_id, vec_id, cosine, rank) with deterministic ordering.
     """
     d = data.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__dv"))
+    # spread the scan even when the source is one file; queries broadcast
+    d = d.repartition(data.sparkSession.sparkContext.defaultParallelism)
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("__qv"))
     joined = d.crossJoin(F.broadcast(q))
@@ -114,7 +116,10 @@ def lsh_topk(
         )
         return base.select(idc, "__v", F.explode(sig_arr).alias("__s"))
 
-    d = with_sigs(data, id_col, vec_col)
+    d = with_sigs(
+        data.repartition(data.sparkSession.sparkContext.defaultParallelism),
+        id_col, vec_col,
+    )
     q = with_sigs(queries, query_id_col, vec_col)
     cand = (
         d.join(

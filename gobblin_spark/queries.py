@@ -339,8 +339,10 @@ FROM p GROUP BY kept_id ORDER BY kept_id
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force word-3-gram Jaccard near-dup pairs (exact oracle tier)."""
-    docs = load(spark, sf_dir, "documents")
+    """Brute-force word-3-gram Jaccard near-dup pairs (exact oracle tier —
+    O(n²), so it runs on a deterministic 1-in-5 sample; the scale path is
+    dedup_minhash_lsh)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     from gobblin_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
@@ -362,7 +364,7 @@ FROM (SELECT doc_id,
 """
 
 SQL_NGRAM_JACCARD = f"""
-WITH s AS ({_DUCK_SHINGLES})
+WITH s AS ({_DUCK_SHINGLES.replace("FROM documents", "FROM documents WHERE doc_id % 5 = 0")})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
@@ -504,6 +506,22 @@ ranked AS (
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (the scale path: candidates share a random-
+    hyperplane bucket, re-ranked exactly). No SQL oracle — the driver records
+    the weaker rows/schema check; recall vs the exact baseline is asserted in
+    tests/test_operators_extra.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    from gobblin_spark.operators.similarity import lsh_topk
+
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=dim, k=10,
+                    n_planes=8, n_tables=4).orderBy("query_id", "rank")
 
 
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,6 +669,114 @@ FROM m ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Multimodal plumbing (synthetic media over documents; decode stubbed
+# deterministically — sha-based — so even the pandas-UDF path is under the
+# value-hash gate)
+# --------------------------------------------------------------------------
+
+# DuckDB replay of synth_media's md5-derived metadata + sha-derived payload.
+_DUCK_MEDIA = """
+SELECT doc_id,
+  ['image/png','audio/wav','video/mp4']
+    [CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 3 + 1 AS INT)]
+    AS media_type,
+  CAST(('0x' || substr(md5(text), 9, 8))::BIGINT % 1920 + 1 AS INT) AS width,
+  CAST(('0x' || substr(md5(text), 17, 8))::BIGINT % 1080 + 1 AS INT) AS height,
+  CAST(('0x' || substr(md5(text), 25, 8))::BIGINT % 60000 AS INT)
+    AS duration_ms,
+  unhex(repeat(sha256(text), 8)) AS payload
+FROM documents
+"""
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingestion metadata audit: typed metadata over opaque binary
+    payloads (media as binary + typed-metadata columns)."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.multimodal import synth_media
+
+    media = synth_media(docs)
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("width").alias("min_w"),
+            F.max("width").alias("max_w"),
+            F.min("height").alias("min_h"),
+            F.max("height").alias("max_h"),
+            F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
+            F.sum(F.length("payload")).cast("long").alias("sum_payload_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+SQL_MEDIA_METADATA = f"""
+WITH m AS ({_DUCK_MEDIA})
+SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(width) AS min_w, MAX(width) AS max_w,
+       MIN(height) AS min_h, MAX(height) AS max_h,
+       CAST(SUM(duration_ms) AS BIGINT) AS sum_duration_ms,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS sum_payload_bytes
+FROM m GROUP BY media_type ORDER BY media_type
+"""
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 1→many explode of (frame_idx, ts_ms) per video
+    row with a deterministic per-frame digest (decode stub)."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(docs), every_ms=1000,
+                         max_frames=16).orderBy("doc_id", "frame_idx")
+
+
+SQL_MEDIA_FRAMES = f"""
+WITH m AS ({_DUCK_MEDIA}),
+v AS (SELECT doc_id, duration_ms, sha256(payload) AS p
+      FROM m WHERE media_type = 'video/mp4'),
+f AS (SELECT doc_id, p,
+             unnest(range(0, least(CAST(floor(duration_ms / 1000.0) AS BIGINT)
+                                   + 1, 16))) AS fi
+      FROM v)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST(fi * 1000 AS INT) AS ts_ms,
+       md5(p || ':' || fi::VARCHAR) AS frame_digest
+FROM f ORDER BY doc_id, frame_idx
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow-batched; deterministic
+    sha-based decode stub), exploded to scalar rows for exact comparison."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.multimodal import extract_features, synth_media
+
+    feats = extract_features(synth_media(docs), feat_dim=16)
+    return (
+        feats.filter(F.col("decode_ok"))
+        .select("doc_id", F.posexplode("features").alias("dim_idx", "value"))
+        .select("doc_id", F.col("dim_idx").cast("int"),
+                F.round("value", 6).alias("value"))
+        .orderBy("doc_id", "dim_idx")
+    )
+
+
+SQL_MEDIA_FEATURES = f"""
+WITH m AS ({_DUCK_MEDIA}),
+d AS (SELECT doc_id,
+             sha256(payload) || sha256(payload || unhex('01')) AS dh
+      FROM m),
+f AS (SELECT doc_id, unnest(range(0, 16)) AS dim_idx, dh FROM d)
+SELECT doc_id, CAST(dim_idx AS INT) AS dim_idx,
+       round(('0x' || substr(dh, CAST(dim_idx * 8 + 1 AS INT), 8))::BIGINT
+             / 4294967296.0, 6) AS value
+FROM f ORDER BY doc_id, dim_idx
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -671,10 +797,14 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "embedding_neardup": q_embedding_neardup,
     "similarity_topk": q_similarity_topk,
+    "similarity_lsh_topk": q_similarity_lsh_topk,
     "text_token_stats": q_text_token_stats,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_quality_score": q_text_quality_score,
+    "media_metadata": q_media_metadata,
+    "media_frame_sample": q_media_frame_sample,
+    "media_features": q_media_features,
 }
 
 
@@ -700,4 +830,7 @@ def oracle_sqls() -> dict[str, str]:
         "text_langid": _duck_langid_sql(),
         "text_fingerprint": SQL_FINGERPRINT,
         "text_quality_score": _duck_quality_sql(),
+        "media_metadata": SQL_MEDIA_METADATA,
+        "media_frame_sample": SQL_MEDIA_FRAMES,
+        "media_features": SQL_MEDIA_FEATURES,
     }

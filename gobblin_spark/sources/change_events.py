@@ -166,8 +166,35 @@ def generate_change_events(
     df = df.unionByName(dups)
 
     # seq = dense global delivery rank (ties broken by id for determinism).
-    w_seq = Window.orderBy("pos", "id")
-    df = df.withColumn("seq", F.row_number().over(w_seq).cast("long") - 1)
+    # Scalable two-phase rank instead of a single-partition global window:
+    # range-repartition by the sort key (partitions hold ordered, disjoint
+    # key ranges), rank locally, then add cumulative partition offsets —
+    # O(P) driver metadata, every downstream expression stays parallel.
+    n_part = max(spark.sparkContext.defaultParallelism, n_groups)
+    df = (
+        df.repartitionByRange(n_part, "pos", "id")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = Window.partitionBy("__pid").orderBy("pos", "id")
+    df = df.withColumn("__lrank", F.row_number().over(w_local).cast("long"))
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in df.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        ),
+        F.col("__pid"),
+    ).cast("long")
+    df = df.withColumn("seq", offset_col + F.col("__lrank") - 1).drop(
+        "__pid", "__lrank"
+    )
 
     del_cut = int(delete_frac * (1 << 31))
     is_delete = (F.col("version") > 1) & (

@@ -1,0 +1,155 @@
+"""Scaling-efficiency evidence for the north rule's two-cluster-size
+criterion, produced the only way a single-node sandbox can: the SAME job on
+the SAME pre-materialized input at two parallelism levels (local[N] and
+local[4N] cores), reporting sustained MERGE-apply events/sec at both plus
+
+    efficiency = (eps_4N / eps_N) / 4
+
+Each level runs in its own subprocess (fresh JVM — no cross-run JIT/cache
+contamination). Results land in BENCH/scaling.json and a human-readable
+section in BENCH/SCALING.md.
+
+Usage:
+    python scripts/bench_scaling.py                  # orchestrate both levels
+    python scripts/bench_scaling.py --worker N DIR   # internal: one level
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_UPDATES = int(os.environ.get("BENCH_EVENTS", "1200000"))
+BATCHES = int(os.environ.get("BENCH_BATCHES", "4"))
+BASE_CPUS = int(os.environ.get("BENCH_BASE_CPUS", "8"))  # N; 4N is the pair
+
+
+def materialize_events(path: str) -> int:
+    from gobblin_spark.session import get_spark
+    from gobblin_spark.sources import generate_change_events
+
+    spark = get_spark("scaling-gen", parallelism=8, shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_change_events(
+        spark,
+        n_updates=N_UPDATES,
+        n_repos=200,
+        paths_per_repo=2000,
+        dup_frac=0.05,
+        delete_frac=0.05,
+        ooo_window=5000,
+        n_groups=32,  # enough stream partitions to feed 32 cores
+    ).write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    spark.stop()
+    return n
+
+
+def run_level(cpus: int, events_path: str) -> dict:
+    """One measured level: full engine loop (plan → convert → LWW MERGE →
+    exactly-once commit) on a fresh table, after one warm-up batch."""
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling-{cpus}", parallelism=cpus, shuffle_partitions=max(cpus, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    events = spark.read.parquet(events_path)
+    n_events = events.count()
+    work = tempfile.mkdtemp(prefix=f"gobblin_scaling_{cpus}_")
+    eng = CdcEngine(
+        spark,
+        events,
+        table_root=os.path.join(work, "table"),
+        state_root=os.path.join(work, "state"),
+        max_records_per_batch=max(1, n_events // BATCHES),
+        n_buckets=max(32, cpus),
+    )
+    warm = eng.run_batch()  # JIT/codegen warm-up, excluded from timing
+    t0 = time.time()
+    results = eng.run_until_caught_up()
+    wall = time.time() - t0
+    applied = sum(r.rows_read for r in results)
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "events_applied": applied,
+        "events_warmup": warm.rows_read,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(applied / wall, 1) if wall > 0 else 0.0,
+        "batches": len(results),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
+        cpus, events_path = int(sys.argv[2]), sys.argv[3]
+        print(json.dumps(run_level(cpus, events_path)))
+        return
+
+    work = tempfile.mkdtemp(prefix="gobblin_scaling_input_")
+    ev_path = os.path.join(work, "events")
+    n = materialize_events(ev_path)
+    print(f"materialized {n} events at {ev_path}", file=sys.stderr)
+
+    levels = {}
+    for cpus in (BASE_CPUS, BASE_CPUS * 4):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(cpus), ev_path],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        levels[cpus] = json.loads(line)
+        print(f"local[{cpus}]: {levels[cpus]['events_per_sec']} events/sec",
+              file=sys.stderr)
+
+    lo, hi = levels[BASE_CPUS], levels[BASE_CPUS * 4]
+    eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4 if lo[
+        "events_per_sec"] else 0.0
+    out = {
+        "metric": "merge_apply_scaling_efficiency",
+        "n_events": n,
+        "base_cpus": BASE_CPUS,
+        "levels": levels,
+        "efficiency_Nx4": round(eff, 3),
+        "criterion": "throughput scaling efficiency >= 0.8 from N to 4N",
+        "pass": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+    with open(os.path.join(REPO, "BENCH", "SCALING.md"), "w") as fh:
+        fh.write(
+            "# MERGE-apply throughput scaling (north-rule evidence)\n\n"
+            "Same job, same pre-materialized input "
+            f"({n} change events, {BATCHES} batches), two parallelism "
+            "levels in separate JVMs (the sandbox stand-in for N vs 4N "
+            "executors per BASELINE.json):\n\n"
+            "| cores | wall (s) | events/sec |\n|---|---|---|\n"
+            f"| local[{lo['cpus']}] | {lo['wall_sec']} | {lo['events_per_sec']} |\n"
+            f"| local[{hi['cpus']}] | {hi['wall_sec']} | {hi['events_per_sec']} |\n\n"
+            f"**Scaling efficiency (N→4N): {out['efficiency_Nx4']}** "
+            f"(criterion ≥ 0.8: {'PASS' if out['pass'] else 'FAIL'})\n"
+        )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

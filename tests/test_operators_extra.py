@@ -1,0 +1,75 @@
+"""Extra operator coverage: ANN recall, SimHash pair dedup, tombstone GC."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from gobblin_spark.lakehouse import LakeTable, merge_lww
+from gobblin_spark.lakehouse.merge import (
+    DELETED_COL,
+    SEQ_COL,
+    gc_tombstones,
+    read_current,
+)
+from gobblin_spark.operators.dedup import simhash_dedup
+from gobblin_spark.operators.similarity import brute_force_topk, lsh_topk
+from gobblin_spark.engine import target_schema_for, default_registry, KEYS
+
+
+def test_lsh_topk_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = lsh_topk(emb, queries, dim=dim, k=10, n_planes=6, n_tables=8)
+    hits = exact.join(approx.select("query_id", "vec_id"),
+                      ["query_id", "vec_id"]).count()
+    total = exact.count()
+    recall = hits / total
+    # every query's own vector must rank #1 (cosine 1.0 with itself)
+    self_hits = approx.filter(
+        (F.col("rank") == 1) & (F.col("query_id") == F.col("vec_id"))
+    ).count()
+    assert self_hits == queries.count()
+    assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
+
+
+def test_simhash_dedup_hamming_bound(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    pairs = simhash_dedup(docs, "doc_id", "text", bits=32,
+                          max_hamming=6, band_bits=8).toPandas()
+    assert (pairs["hamming"] <= 6).all()
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+    assert not pairs.duplicated(["id_a", "id_b"]).any()
+
+
+def test_gc_tombstones_drops_only_old_deletes(spark, tmp_table_dir):
+    reg = default_registry()
+    table = LakeTable.create(
+        spark, os.path.join(tmp_table_dir, "t"),
+        target_schema_for(reg, 1), KEYS, n_buckets=4,
+        properties={"registry_version": 1},
+    )
+    rows = [
+        # (seq, op, repo, path, commit, lang, content)
+        (1, "I", "r1", "a", "c1", "py", "x1"),
+        (2, "D", "r1", "a", None, None, None),     # old tombstone (GC-able)
+        (3, "I", "r1", "b", "c2", "py", "x2"),
+        (9, "D", "r2", "a", None, None, None),     # young tombstone (keep)
+    ]
+    batch = spark.createDataFrame(
+        rows, "seq long, op string, repo string, path string, commit string,"
+        " lang string, content string"
+    )
+    merge_lww(table, batch, KEYS, seq_col="seq", op_col="op")
+    raw = table.read()
+    assert raw.filter(F.col(DELETED_COL)).count() == 2
+    gc_tombstones(table, horizon_seq=5)
+    raw2 = table.read()
+    tombs = raw2.filter(F.col(DELETED_COL)).select("repo", "path").collect()
+    assert [(t["repo"], t["path"]) for t in tombs] == [("r2", "a")]
+    # visible state unchanged by GC
+    vis = read_current(table).select("repo", "path", "content").orderBy("repo")
+    assert [tuple(r) for r in vis.collect()] == [("r1", "b", "x2")]
