@@ -60,26 +60,44 @@ def main() -> None:
     n_events = events.count()
     timings["generate_input"] = round(time.time() - t0, 3)
 
-    # ---- warm-up batch (JIT/codegen; discarded) then timed loop ----
-    eng = CdcEngine(
-        spark,
-        events,
-        table_root=os.path.join(work, "table"),
-        state_root=os.path.join(work, "state"),
-        max_records_per_batch=max(1, n_events // BATCHES),
-        n_buckets=max(32, CPUS),
-    )
-    t_warm = time.time()
-    first = eng.run_batch()
-    timings["warmup_batch"] = round(time.time() - t_warm, 3)
-    applied = first.rows_read
-
-    t1 = time.time()
-    results = eng.run_until_caught_up()
-    wall = time.time() - t1
-    applied_timed = sum(r.rows_read for r in results)
-    timings["merge_apply_loop"] = round(wall, 3)
-    eps = applied_timed / wall if wall > 0 else 0.0
+    # ---- two merge modes, each: warm-up batch (JIT/codegen) + timed loop.
+    # MOR (append deltas + periodic compaction, compaction INSIDE the timed
+    # window) is the headline: it is the faithful Spark rendering of the
+    # reference's ingest-then-compact architecture and the only shape whose
+    # apply cost stays O(batch) at 100 TB. COW reported alongside.
+    modes = {}
+    for mode in ("mor", "cow"):
+        eng = CdcEngine(
+            spark,
+            events,
+            table_root=os.path.join(work, f"table_{mode}"),
+            state_root=os.path.join(work, f"state_{mode}"),
+            max_records_per_batch=max(1, n_events // BATCHES),
+            n_buckets=max(32, CPUS),
+            merge_mode=mode,
+            compact_every=max(2, BATCHES // 2),
+        )
+        t_warm = time.time()
+        first = eng.run_batch()
+        timings[f"warmup_batch_{mode}"] = round(time.time() - t_warm, 3)
+        t1 = time.time()
+        results = eng.run_until_caught_up()
+        wall_m = time.time() - t1
+        modes[mode] = {
+            "wall_sec": round(wall_m, 3),
+            "events_applied": sum(r.rows_read for r in results),
+            "events_per_sec": round(
+                sum(r.rows_read for r in results) / wall_m, 1
+            ) if wall_m > 0 else 0.0,
+            "batches": len(results),
+            "warmup_applied": first.rows_read,
+        }
+    applied = modes["mor"]["warmup_applied"]
+    wall = modes["mor"]["wall_sec"]
+    applied_timed = modes["mor"]["events_applied"]
+    results = [None] * modes["mor"]["batches"]
+    timings["merge_apply_loop"] = wall
+    eps = modes["mor"]["events_per_sec"]
 
     # ---- operator query timings at the sf dir ----
     from gobblin_spark.queries import QUERIES
@@ -103,6 +121,7 @@ def main() -> None:
         "events_applied_warmup": applied,
         "events_per_sec": round(eps, 1),
         "batches_timed": len(results),
+        "merge_modes": modes,
         "cpus": CPUS,
         "sf": sf,
         "queries": per_query,

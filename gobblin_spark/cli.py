@@ -54,6 +54,8 @@ def cmd_ingest(args) -> int:
         max_records_per_unit=args.max_records_per_unit,
         salt_buckets=args.salt_buckets,
         n_buckets=args.buckets,
+        merge_mode=args.merge_mode,
+        compact_every=args.compact_every,
     )
     t0 = time.time()
     results = eng.run_until_caught_up(max_batches=args.max_batches)
@@ -84,6 +86,20 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import compact
+
+    spark = _get_session(args)
+    table = LakeTable(spark, args.table)
+    snap = compact(table, salt_buckets=args.salt_buckets)
+    print(json.dumps({
+        "snapshot_version": snap.version,
+        "table_stats": table.stats(),
+    }))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     from gobblin_spark.lakehouse import LakeTable
 
@@ -107,6 +123,11 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--buckets", type=int, default=32,
                      help="hash buckets of a newly created target table")
     ing.add_argument("--max-batches", type=int, default=1000)
+    ing.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
+                     help="cow: rewrite affected buckets per batch; "
+                          "mor: append deltas, compact periodically")
+    ing.add_argument("--compact-every", type=int, default=8,
+                     help="mor: compact after this many batches")
     ing.add_argument("--local-cores", type=int, default=0,
                      help="dev only: build a local[N] session instead of "
                           "using the spark-submit session")
@@ -114,13 +135,18 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="print watermarks + pending batches")
     st.add_argument("--state", required=True)
 
+    cp = sub.add_parser("compact", help="fold MOR delta files (LWW by key)")
+    cp.add_argument("--table", required=True)
+    cp.add_argument("--salt-buckets", type=int, default=0)
+    cp.add_argument("--local-cores", type=int, default=0)
+
     vac = sub.add_parser("vacuum", help="remove orphaned data files")
     vac.add_argument("--table", required=True)
     vac.add_argument("--local-cores", type=int, default=0)
 
     args = p.parse_args(argv)
     return {"ingest": cmd_ingest, "status": cmd_status,
-            "vacuum": cmd_vacuum}[args.cmd](args)
+            "compact": cmd_compact, "vacuum": cmd_vacuum}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -46,7 +46,13 @@ from pyspark.sql.types import (
 )
 
 from gobblin_spark.lakehouse import LakeTable, merge_lww
-from gobblin_spark.lakehouse.merge import DELETED_COL, SEQ_COL, read_current
+from gobblin_spark.lakehouse.merge import (
+    DELETED_COL,
+    SEQ_COL,
+    compact,
+    merge_lww_mor,
+    read_current,
+)
 from gobblin_spark.operators.converters import (
     ConverterChain,
     SchemaEvolutionConverter,
@@ -165,7 +171,13 @@ class CdcEngine:
         converters: ConverterChain | None = None,
         row_policies: list[RowLevelPolicy] | None = None,
         err_path: str | None = None,
+        merge_mode: str = "cow",
+        compact_every: int = 8,
     ):
+        """merge_mode: 'cow' rewrites affected buckets per batch (zero read
+        amplification); 'mor' appends delta files per batch and compacts
+        every ``compact_every`` batches (O(batch) apply — the 100 TB path,
+        mirroring the reference's ingest-then-compact split)."""
         self.spark = spark
         self._events = events
         self.registry = registry or default_registry()
@@ -182,6 +194,10 @@ class CdcEngine:
         self.converters = converters
         self.row_policies = row_policies or []
         self.err_path = err_path
+        assert merge_mode in ("cow", "mor")
+        self.merge_mode = merge_mode
+        self.compact_every = compact_every
+        self._batches_since_compact = 0
         if LakeTable.exists(table_root):
             self.table = LakeTable(spark, table_root)
         else:
@@ -218,16 +234,30 @@ class CdcEngine:
         states = plan.to_states()
         self.store.begin_batch(batch_id, states)
 
-        # Extract: one deterministic predicate from the plan.
+        # Extract: one deterministic predicate from the plan; persist the
+        # batch once — every later pass (metadata agg, hot scan, merge) is a
+        # narrow scan of the cache, not a re-read of the source.
         pred = Planner.batch_predicate(plan.units)
         batch = self.events().filter(pred)
+        data = batch.filter(F.col("op").isin("I", "U", "D")).persist()
+
+        # ONE metadata pass: row count + schema versions present.
+        meta = data.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("schema_version").alias("sv_max"),
+            F.collect_set("schema_version").alias("svs"),
+        ).collect()[0]
+        n_rows, sv_max = int(meta["n"]), int(meta["sv_max"] or 1)
+        versions = sorted(int(v) for v in (meta["svs"] or [1]))
 
         # Schema-change events: evolve target + registry BEFORE data apply.
-        data = batch.filter(F.col("op").isin("I", "U", "D"))
-        sv_max = batch.agg(F.max("schema_version")).collect()[0][0] or 1
+        # sv_max over the DATA rows is sufficient — an op='S' marker always
+        # flips schema_version on every subsequent data row, so evolution
+        # happens in the first batch that actually carries new-version rows
+        # (evolve-before-apply either way).
         cur_v = int(self.table.snapshot().properties.get("registry_version", 1))
         if sv_max > cur_v:
-            evolve_target_to(self.table, self.registry, int(sv_max))
+            evolve_target_to(self.table, self.registry, sv_max)
 
         # Convert: conform mixed-version rows to the latest target schema,
         # then any user converter chain.
@@ -237,6 +267,7 @@ class CdcEngine:
             version_col="schema_version",
             target_version=target_v,
             passthrough=["seq", "op", "event_group"],
+            versions=versions,
         )
         converted = evo.convert(data)
         if self.converters is not None:
@@ -245,21 +276,22 @@ class CdcEngine:
         # Row-quality gates (failures → err file, never the target).
         checker = RowLevelPolicyChecker(self.row_policies, self.err_path)
         quality = checker.execute(converted)
-        good = quality.passed.persist()
-
-        rows_read = good.count()
+        good = quality.passed
+        # exact passed-row count only when policies can actually drop rows
+        rows_read = good.count() if self.row_policies else n_rows
 
         # Skew: flag hot repos; they take the salted two-stage reduce.
-        hot = self.planner.detect_hot_repos(good, total=rows_read) if rows_read else []
+        hot = self.planner.detect_hot_repos(data, total=n_rows) if n_rows else []
         hot_df = None
         if hot:
-            hot_df = good.select("repo", *[c for c in KEYS if c != "repo"]) \
-                .filter(F.col("repo").isin(hot)).distinct()
+            hot_df = good.select(*KEYS).filter(
+                F.col("repo").isin(hot)).distinct()
 
         snapshot_version = None
         rows_merged = 0
         if rows_read:
-            snap = merge_lww(
+            apply_fn = merge_lww if self.merge_mode == "cow" else merge_lww_mor
+            snap = apply_fn(
                 self.table,
                 good,
                 KEYS,
@@ -271,7 +303,18 @@ class CdcEngine:
             )
             snapshot_version = snap.version
             rows_merged = rows_read
-        good.unpersist()
+            if self.merge_mode == "mor":
+                self._batches_since_compact += 1
+                if self._batches_since_compact >= self.compact_every:
+                    snap = compact(
+                        self.table,
+                        salt_buckets=self.salt_buckets if hot else 0,
+                        hot_keys=hot_df,
+                        properties={"compacted_after": batch_id},
+                    )
+                    snapshot_version = snap.version
+                    self._batches_since_compact = 0
+        data.unpersist()
 
         # Task-level gate: rows read must be within 1% of plan estimate is
         # too strict for estimates — assert non-negative + policy hook.

@@ -181,9 +181,93 @@ def merge_lww(
     )
 
 
+def merge_lww_mor(
+    table: LakeTable,
+    batch: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    salt_buckets: int = 0,
+    hot_keys: DataFrame | None = None,
+    properties: dict[str, Any] | None = None,
+    expected_version: int | None = None,
+) -> Snapshot:
+    """Merge-on-read apply: the 100 TB scale path.
+
+    Writes the batch's in-batch LWW winners as NEW delta files — the target
+    is never read or rewritten at apply time, so apply cost is O(batch), not
+    O(affected table buckets). Readers resolve LWW across base+delta files
+    (``read_current``); ``compact`` folds deltas back into one row per key.
+
+    This is the faithful Spark rendering of the reference's own
+    architecture: ingest appends (FsDataWriter/BaseDataPublisher publish
+    new files only), and dedup is a SEPARATE compaction job
+    (gobblin-compaction/.../MRCompactorAvroKeyDedupJobRunner.java:76-156,
+    AvroKeyDedupReducer.java:52-55 keep-last). Copy-on-write ``merge_lww``
+    is the strict alternative when read amplification must be zero.
+
+    Idempotent for crash recovery in the visible-state sense: re-appending
+    the same batch adds byte-identical (key, seq) rows; LWW resolution and
+    the next compaction collapse them, so the visible table converges.
+    """
+    snap = table.snapshot()
+    if expected_version is None:
+        expected_version = snap.version
+    payload_cols = [
+        f.name for f in snap.schema.fields if f.name not in (SEQ_COL, DELETED_COL)
+    ]
+    batch_rows = batch.select(
+        *[F.col(c) for c in payload_cols],
+        F.col(seq_col).cast("long").alias(SEQ_COL),
+        (F.col(op_col) == F.lit("D")).alias(DELETED_COL),
+    )
+    # In-batch pre-reduce: here it pays (unlike COW) because it shrinks the
+    # appended delta to one row per key with zero target reads.
+    winners = lww_reduce(batch_rows, keys, SEQ_COL, salt_buckets, hot_keys)
+    new_files = table.write_data_files(winners, seq_col=SEQ_COL)
+    props = dict(properties or {})
+    props["mor_deltas"] = int(snap.properties.get("mor_deltas", 0)) + 1
+    return table.commit(
+        keep_files=snap.files,
+        add_files=new_files,
+        properties=props,
+        expected_version=expected_version,
+    )
+
+
+def compact(
+    table: LakeTable,
+    salt_buckets: int = 0,
+    hot_keys: DataFrame | None = None,
+    properties: dict[str, Any] | None = None,
+) -> Snapshot:
+    """Fold MOR delta files into one row per key (LWW by __seq) — the
+    reference's standalone compaction job (MRCompactor), as one bucketed
+    Spark job: shuffle by key is bucket-aligned with the storage layout."""
+    snap = table.snapshot()
+    if int(snap.properties.get("mor_deltas", 0)) == 0:
+        return snap
+    df = table.read()
+    final = lww_reduce(df, snap.bucket_cols, SEQ_COL, salt_buckets, hot_keys)
+    new_files = table.write_data_files(final, seq_col=SEQ_COL)
+    props = dict(properties or {})
+    props["mor_deltas"] = 0
+    return table.commit(
+        keep_files=[],
+        add_files=new_files,
+        properties=props,
+        expected_version=snap.version,
+    )
+
+
 def read_current(table: LakeTable, version: int | None = None) -> DataFrame:
-    """The visible (non-tombstone) state of a CDC target table."""
+    """The visible (non-tombstone) state of a CDC target table. For a table
+    with outstanding MOR deltas, resolves LWW across base+delta files first
+    (merge-on-read)."""
     df = table.read(version)
+    snap = table.snapshot(version)
+    if int(snap.properties.get("mor_deltas", 0)) > 0:
+        df = lww_reduce(df, snap.bucket_cols, SEQ_COL)
     if DELETED_COL in df.columns:
         df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL, SEQ_COL)
     return df
@@ -192,8 +276,14 @@ def read_current(table: LakeTable, version: int | None = None) -> DataFrame:
 def gc_tombstones(table: LakeTable, horizon_seq: int) -> Snapshot:
     """Physically drop tombstones with seq <= horizon (safe once the
     out-of-order horizon passed: no event with smaller seq can still arrive).
-    Rewrites only files that contain qualifying tombstones (min_seq stats)."""
+    Rewrites only files that contain qualifying tombstones (min_seq stats).
+
+    Requires a compacted table (no outstanding MOR deltas): with multiple
+    rows per key on disk, dropping a tombstone could resurrect an older
+    update row — compact() first."""
     snap = table.snapshot()
+    if int(snap.properties.get("mor_deltas", 0)) > 0:
+        raise ValueError("gc_tombstones on a MOR table: run compact() first")
     rewrite = [
         f for f in snap.files if f.min_seq is None or f.min_seq <= horizon_seq
     ]

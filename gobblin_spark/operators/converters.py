@@ -298,12 +298,15 @@ class SchemaEvolutionConverter(Converter):
     version_col: str = "schema_version"
     target_version: int | None = None
     passthrough: list[str] | None = None  # system cols kept as-is
+    versions: list[int] | None = None  # known distinct versions (skips a scan)
 
     def convert(self, df: DataFrame) -> DataFrame:
         to_v = self.target_version or self.registry.latest_version()
-        versions = [
-            r[0] for r in df.select(self.version_col).distinct().collect()
-        ]
+        versions = self.versions
+        if versions is None:
+            versions = [
+                r[0] for r in df.select(self.version_col).distinct().collect()
+            ]
         passthrough = [
             c for c in (self.passthrough or []) if c in df.columns
         ]

@@ -137,7 +137,7 @@ def minhash_lsh_pairs(
         shingles_expr(text_col, n).alias("__sh"),
     ).withColumn("__sh", F.when(F.size("__sh") > 0, F.col("__sh"))
                  .otherwise(F.array(F.lit(""))))
-    sig = s.select("__id", "__sh", *minhash_signature_exprs(F.col("__sh"), n_hashes))
+    sig = s.select("__id", *minhash_signature_exprs(F.col("__sh"), n_hashes))
     band_keys = [
         F.md5(
             F.concat_ws("|", F.lit(str(b)),
@@ -145,26 +145,33 @@ def minhash_lsh_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("__id", "__sh", F.array(*band_keys).alias("__bands"))
-    exploded = banded.select(
-        "__id", "__sh", F.explode("__bands").alias("__band")
+    # Physical shape matters at scale: the band self-join and pair-dedup
+    # move ONLY (id, band) rows — the heavy shingle arrays (and the md5
+    # signature computation) never enter the shuffle or get recomputed on
+    # both join sides. Shingles are re-attached to the (small) candidate
+    # set afterwards for exact-Jaccard verification.
+    exploded = sig.select(
+        "__id",
+        F.explode(F.array(*band_keys)).alias("__band"),
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.__band") == F.col("b.__band"))
                & (F.col("a.__id") < F.col("b.__id")))
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = s.select(F.col("__id"), F.col("__sh"))
+    pairs = (
+        cand.join(sh.withColumnRenamed("__id", "id_a")
+                  .withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b")
+              .withColumnRenamed("__sh", "sh_b"), "id_b")
     )
     jac = jaccard_expr(F.col("sh_a"), F.col("sh_b"))
     return (
-        cand.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

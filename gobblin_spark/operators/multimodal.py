@@ -64,12 +64,13 @@ def synth_media(df: DataFrame, id_col: str = "doc_id",
 def _decode_impl(payload: bytes, media_type: str) -> bytes:
     """STUB — the real decode (PIL/ffmpeg/soundfile) is unavailable in this
     container. Deterministic fake: the 'decoded' buffer is
-    sha256(payload) + sha256(payload + 0x01) (64 B), stable across runs AND
-    replayable by a SQL oracle, so the whole multimodal pipeline stays under
-    the value-hash correctness gate. Replace with a real codec to
-    productionize; the Spark plumbing does not change."""
-    return (hashlib.sha256(payload).digest()
-            + hashlib.sha256(payload + b"\x01").digest())
+    sha256(hex(payload)) + sha256(hex(payload) + ':1') (64 B) — hashed over
+    the lowercase-hex encoding so a SQL oracle without blob hashing can
+    replay it, keeping the whole multimodal pipeline under the value-hash
+    correctness gate. Replace with a real codec to productionize; the Spark
+    plumbing does not change."""
+    h = payload.hex().encode()
+    return hashlib.sha256(h).digest() + hashlib.sha256(h + b":1").digest()
 
 
 def extract_features(df: DataFrame, feat_dim: int = 16,
@@ -124,8 +125,10 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
         F.lit(max_frames),
     )
     idx = F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")
+    # digest over the hex encoding (portable: SQL oracles lack blob hashing)
     out = video.select(F.col("doc_id"), F.col("duration_ms"),
-                       F.sha2(F.col("payload"), 256).alias("__p"), idx)
+                       F.sha2(F.lower(F.hex(F.col("payload"))), 256).alias("__p"),
+                       idx)
     return out.select(
         "doc_id",
         F.col("frame_idx").cast("int"),

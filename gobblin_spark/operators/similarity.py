@@ -114,28 +114,28 @@ def lsh_topk(
         sig_arr = F.array(
             *[F.struct(F.lit(t).alias("t"), s.alias("sig")) for t, s in sigs]
         )
-        return base.select(idc, "__v", F.explode(sig_arr).alias("__s"))
+        # ids + signatures only: vectors stay out of the join/dedup shuffle
+        return base.select(idc, F.explode(sig_arr).alias("__s"))
 
-    d = with_sigs(
-        data.repartition(data.sparkSession.sparkContext.defaultParallelism),
-        id_col, vec_col,
-    )
+    dd = data.repartition(data.sparkSession.sparkContext.defaultParallelism)
+    d = with_sigs(dd, id_col, vec_col)
     q = with_sigs(queries, query_id_col, vec_col)
     cand = (
-        d.join(
-            F.broadcast(q),
-            on=[d["__s"] == q["__s"]],
-        )
+        d.join(F.broadcast(q), on=[d["__s"] == q["__s"]])
         .select(
             F.col(query_id_col).alias("query_id"),
             F.col(id_col).alias("vec_id"),
-            d["__v"].alias("__dv"),
-            q["__v"].alias("__qv"),
         )
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cand.select(
-        "query_id", "vec_id", cosine_expr(F.col("__dv"), F.col("__qv")).alias("cosine")
+    dv = dd.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__dv"))
+    qv = queries.select(F.col(query_id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qv"))
+    scored = (
+        cand.join(dv, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "vec_id",
+                cosine_expr(F.col("__dv"), F.col("__qv")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -145,8 +145,14 @@ class Planner:
         watermarks = self.store.last_committed_watermarks()
         global_low = min(watermarks.values()) if watermarks else -1
 
-        # 1. What's newly available per group? (pushdown: seq > global_low)
-        fresh = events.filter(F.col("seq") > global_low)
+        # 1. What's newly available per group? Pushdown BOTH bounds: seq is
+        # globally dense, so nothing past low + cap can enter this batch —
+        # the planning scan is O(cap) with parquet min/max pruning, not
+        # O(all remaining events). Matters at 10^10 backlog.
+        fresh = events.filter(
+            (F.col("seq") > global_low)
+            & (F.col("seq") <= global_low + self.max_records_per_batch)
+        )
         stats_rows = (
             fresh.groupBy("event_group")
             .agg(

@@ -346,7 +346,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gobblin_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
-                               threshold=0.12).orderBy("id_a", "id_b")
+                               threshold=0.02).orderBy("id_a", "id_b")
 
 
 # DuckDB: same tokenization (lower, split on whitespace runs, drop empties),
@@ -372,7 +372,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.12
+      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.02
 ORDER BY id_a, id_b
 """
 
@@ -684,7 +684,8 @@ SELECT doc_id,
   CAST(('0x' || substr(md5(text), 17, 8))::BIGINT % 1080 + 1 AS INT) AS height,
   CAST(('0x' || substr(md5(text), 25, 8))::BIGINT % 60000 AS INT)
     AS duration_ms,
-  unhex(repeat(sha256(text), 8)) AS payload
+  unhex(repeat(sha256(text), 8)) AS payload,
+  repeat(sha256(text), 8) AS payload_hex
 FROM documents
 """
 
@@ -734,7 +735,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_FRAMES = f"""
 WITH m AS ({_DUCK_MEDIA}),
-v AS (SELECT doc_id, duration_ms, sha256(payload) AS p
+v AS (SELECT doc_id, duration_ms, sha256(payload_hex) AS p
       FROM m WHERE media_type = 'video/mp4'),
 f AS (SELECT doc_id, p,
              unnest(range(0, least(CAST(floor(duration_ms / 1000.0) AS BIGINT)
@@ -766,7 +767,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MEDIA_FEATURES = f"""
 WITH m AS ({_DUCK_MEDIA}),
 d AS (SELECT doc_id,
-             sha256(payload) || sha256(payload || unhex('01')) AS dh
+             sha256(payload_hex) || sha256(payload_hex || ':1') AS dh
       FROM m),
 f AS (SELECT doc_id, unnest(range(0, 16)) AS dim_idx, dh FROM d)
 SELECT doc_id, CAST(dim_idx AS INT) AS dim_idx,

@@ -72,6 +72,8 @@ def run_level(cpus: int, events_path: str) -> dict:
         state_root=os.path.join(work, "state"),
         max_records_per_batch=max(1, n_events // BATCHES),
         n_buckets=max(32, cpus),
+        merge_mode="mor",  # headline mode (see bench.py rationale)
+        compact_every=max(2, BATCHES // 2),
     )
     warm = eng.run_batch()  # JIT/codegen warm-up, excluded from timing
     t0 = time.time()

@@ -8,10 +8,13 @@ column names, and order-insensitive value hashes. Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import duckdb
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def value_hash(pdf: pd.DataFrame) -> str:
@@ -56,6 +59,10 @@ def main():
         except Exception as e:
             print(f"[FAIL] {name}: spark error: {str(e)[:300]}")
             failures.append(name)
+            continue
+        if name not in sqls:
+            print(f"[rows] {name}: {len(spdf)} rows (no oracle — "
+                  "driver records the weaker rows/schema check)")
             continue
         try:
             opdf = con.execute(sqls[name]).df()

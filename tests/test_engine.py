@@ -154,6 +154,31 @@ def test_schema_evolution_end_to_end(spark, tmp_table_dir):
     assert eng.table.snapshot().properties["registry_version"] == 4
 
 
+def test_mor_mode_matches_oracle(spark, tmp_table_dir):
+    """Merge-on-read apply (append deltas + periodic compaction) must
+    converge to the same visible state as COW / the oracle replay — both
+    mid-stream (uncompacted deltas resolved at read) and after compaction."""
+    ev = events_fixture(spark, 1500)
+    eng = make_engine(spark, tmp_table_dir, ev,
+                      merge_mode="mor", compact_every=2)
+    eng.run_batch()
+    # uncompacted read: deltas outstanding, LWW resolved at read time
+    mid = eng.current_state().select("repo", "path", "commit", "lang", "content")
+    assert mid.count() > 0
+    eng.run_until_caught_up()
+    final = eng.current_state().select("repo", "path", "commit", "lang", "content")
+    assert_frames_equal_by_sha(final.toPandas(), oracle_final(ev.toPandas()))
+    # a final explicit compaction leaves the visible state unchanged
+    from gobblin_spark.lakehouse.merge import compact
+
+    compact(eng.table)
+    after = eng.current_state().select("repo", "path", "commit", "lang", "content")
+    assert_frames_equal_by_sha(after.toPandas(), oracle_final(ev.toPandas()))
+    # compacted table holds exactly one row per live+tombstone key
+    raw = eng.table.read()
+    assert raw.count() == raw.select("repo", "path").distinct().count()
+
+
 def test_row_quality_gate_err_file(spark, tmp_table_dir):
     from gobblin_spark.operators.quality import PolicyType, RowLevelPolicy
 
