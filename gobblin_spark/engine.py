@@ -59,9 +59,10 @@ from gobblin_spark.operators.converters import (
     SchemaRegistry,
 )
 from gobblin_spark.operators.quality import (
+    PolicyViolation,
     RowLevelPolicy,
     RowLevelPolicyChecker,
-    RowCountRangePolicy,
+    RowCountRangePolicy,  # noqa: F401 — re-exported for engine users
 )
 from gobblin_spark.plans.planner import BatchPlan, Planner
 from gobblin_spark.state.store import StateStore
@@ -153,6 +154,7 @@ class BatchResult:
     wall_ms: int
     hot_repos: list[str] = field(default_factory=list)
     empty: bool = False
+    phase_ms: dict[str, int] = field(default_factory=dict)
 
 
 class CdcEngine:
@@ -173,6 +175,7 @@ class CdcEngine:
         err_path: str | None = None,
         merge_mode: str = "cow",
         compact_every: int = 8,
+        task_policies: list | None = None,
     ):
         """merge_mode: 'cow' rewrites affected buckets per batch (zero read
         amplification); 'mor' appends delta files per batch and compacts
@@ -198,6 +201,9 @@ class CdcEngine:
         self.merge_mode = merge_mode
         self.compact_every = compact_every
         self._batches_since_compact = 0
+        # task-level publish gates: each has .check(rows_read) -> bool
+        # (≙ RowCountPolicy/RowCountRangePolicy gating TaskPublisher.canPublish)
+        self.task_policies = task_policies or []
         if LakeTable.exists(table_root):
             self.table = LakeTable(spark, table_root)
         else:
@@ -220,7 +226,15 @@ class CdcEngine:
     # ---------------------------------------------------------------- batch
     def run_batch(self) -> BatchResult:
         t0 = time.time()
+        phase_ms: dict[str, int] = {}
+
+        def mark(name: str, since: float) -> float:
+            now = time.time()
+            phase_ms[name] = phase_ms.get(name, 0) + int((now - since) * 1000)
+            return now
+
         plan = self.planner.plan_batch(self.events())
+        tp = mark("plan", t0)
         if plan.empty:
             return BatchResult("", True, False, 0, 0, None, 0, empty=True)
         batch_id = plan.batch_id
@@ -234,21 +248,45 @@ class CdcEngine:
         states = plan.to_states()
         self.store.begin_batch(batch_id, states)
 
-        # Extract: one deterministic predicate from the plan; persist the
-        # batch once — every later pass (metadata agg, hot scan, merge) is a
-        # narrow scan of the cache, not a re-read of the source.
+        # Extract: one deterministic predicate from the plan. NOT cached:
+        # the batch is read exactly twice (metadata rollup, merge apply) and
+        # both re-scans are pruned columnar parquet reads — measured cheaper
+        # than building a row cache of the full payload (cache encode of the
+        # content column cost more than both scans together).
         pred = Planner.batch_predicate(plan.units)
         batch = self.events().filter(pred)
-        data = batch.filter(F.col("op").isin("I", "U", "D")).persist()
+        data = batch.filter(F.col("op").isin("I", "U", "D"))
 
-        # ONE metadata pass: row count + schema versions present.
-        meta = data.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max("schema_version").alias("sv_max"),
-            F.collect_set("schema_version").alias("svs"),
-        ).collect()[0]
-        n_rows, sv_max = int(meta["n"]), int(meta["sv_max"] or 1)
-        versions = sorted(int(v) for v in (meta["svs"] or [1]))
+        # ONE metadata pass for row count + schema versions + hot repos:
+        # rollup('repo') yields per-repo rows AND the grand-total row in a
+        # single shuffle; only rows over the hot threshold (vs the plan's
+        # size estimate) plus the total row come back to the driver.
+        thr = self.planner.hot_key_threshold * max(1, plan.total_est_records)
+        stats = (
+            data.rollup("repo")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.max("schema_version").alias("sv_max"),
+                F.collect_set("schema_version").alias("svs"),
+            )
+            .filter(F.col("repo").isNull() | (F.col("cnt") > thr))
+            .collect()
+        )
+        # (an all-marker batch — op='S' only — aggregates to no rows at all)
+        total = next((r for r in stats if r["repo"] is None), None)
+        if total is None:
+            n_rows, sv_max, versions = 0, 1, [1]
+        else:
+            n_rows, sv_max = int(total["cnt"]), int(total["sv_max"] or 1)
+            versions = sorted(int(v) for v in (total["svs"] or [1]))
+        hot = [
+            r["repo"]
+            for r in sorted(
+                (r for r in stats if r["repo"] is not None),
+                key=lambda r: -r["cnt"],
+            )[:64]
+        ]
+        tp = mark("meta", tp)
 
         # Schema-change events: evolve target + registry BEFORE data apply.
         # sv_max over the DATA rows is sufficient — an op='S' marker always
@@ -280,12 +318,28 @@ class CdcEngine:
         # exact passed-row count only when policies can actually drop rows
         rows_read = good.count() if self.row_policies else n_rows
 
-        # Skew: flag hot repos; they take the salted two-stage reduce.
-        hot = self.planner.detect_hot_repos(data, total=n_rows) if n_rows else []
+        # Skew: hot repos (flagged in the rollup above) take the salted
+        # two-stage reduce path.
         hot_df = None
         if hot:
             hot_df = good.select(*KEYS).filter(
                 F.col("repo").isin(hot)).distinct()
+
+        # Publish gate BEFORE any table mutation (≙ TaskPublisher.canPublish,
+        # POLICY_TESTS_FAIL blocks publish): a failing gate leaves the batch
+        # checkpointed-but-uncommitted, so its exact ranges are re-planned
+        # next run (watermark backoff) instead of silently lost.
+        failed_gates = [
+            type(p).__name__ for p in self.task_policies if not p.check(rows_read)
+        ]
+        if failed_gates:
+            for u in states:
+                u.state = "FAILED"
+            self.store.update_batch(batch_id, states, status="FAILED")
+            raise PolicyViolation(
+                f"task policies blocked publish of batch {batch_id}: "
+                f"{failed_gates} (rows_read={rows_read})"
+            )
 
         snapshot_version = None
         rows_merged = 0
@@ -303,6 +357,7 @@ class CdcEngine:
             )
             snapshot_version = snap.version
             rows_merged = rows_read
+            tp = mark("merge_apply", tp)
             if self.merge_mode == "mor":
                 self._batches_since_compact += 1
                 if self._batches_since_compact >= self.compact_every:
@@ -314,10 +369,8 @@ class CdcEngine:
                     )
                     snapshot_version = snap.version
                     self._batches_since_compact = 0
-        data.unpersist()
+                    tp = mark("compact", tp)
 
-        # Task-level gate: rows read must be within 1% of plan estimate is
-        # too strict for estimates — assert non-negative + policy hook.
         wall = int((time.time() - t0) * 1000)
         per_unit_wall = wall // max(1, len(states))
         for u in states:
@@ -336,8 +389,10 @@ class CdcEngine:
                 "hot_repos": hot,
                 "quality_violations": quality.counts,
                 "wall_ms": wall,
+                "phase_ms": phase_ms,
             },
         )
+        mark("commit", tp)
         return BatchResult(
             batch_id=batch_id,
             committed=True,
@@ -347,6 +402,7 @@ class CdcEngine:
             snapshot_version=snapshot_version,
             wall_ms=wall,
             hot_repos=hot,
+            phase_ms=phase_ms,
         )
 
     def run_until_caught_up(self, max_batches: int = 1000) -> list[BatchResult]:

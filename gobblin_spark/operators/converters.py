@@ -138,6 +138,27 @@ class FromJsonConverter(Converter):
 
 
 @dataclass
+class CsvToColumnsConverter(Converter):
+    """Delimited string field → typed columns by header position
+    (≙ CsvToJsonConverter, gobblin-core/.../csv/CsvToJsonConverter.java —
+    the JSON hop is unnecessary in Spark: split straight into columns)."""
+
+    field: str = "line"
+    headers: list[str] | None = None
+    delimiter: str = ","
+    drop_source: bool = True
+
+    def convert(self, df: DataFrame) -> DataFrame:
+        parts = F.split(F.col(self.field), self.delimiter)
+        cols = [
+            F.element_at(parts, i + 1).alias(h)
+            for i, h in enumerate(self.headers or [])
+        ]
+        keep = [c for c in df.columns if c != self.field or not self.drop_source]
+        return df.select(*keep, *cols)
+
+
+@dataclass
 class StringSplitterConverter(Converter):
     """Split one string field into N records — 1→many
     (≙ StringSplitterConverter.java)."""
@@ -369,6 +390,7 @@ CONVERTER_REGISTRY: dict[str, type] = {
     "field_retriever": FieldRetrieverConverter,
     "to_json": ToJsonConverter,
     "from_json": FromJsonConverter,
+    "csv_to_columns": CsvToColumnsConverter,
     "string_splitter": StringSplitterConverter,
     "flatten": FlattenConverter,
     "cast": CastConverter,

@@ -54,35 +54,43 @@ def brute_force_topk(
     )
 
 
-def _rh_signature(vec_col, n_planes: int, dim: int, seed: int = 42):
-    """Random-hyperplane signature: bit i = sign(v · h_i) where h_i is a
-    deterministic ±1 hyperplane derived from md5(seed,i,j) — reproducible on
-    any engine, no stored model. Returns an int signature column."""
-    bits = []
-    for i in range(n_planes):
-        # ±1 pattern per dimension from a hash — computed once by Catalyst
-        # constant folding per plane (the transform lambda sees only v).
-        signs = F.array(
-            *[
-                F.when(
-                    F.conv(
-                        F.substring(F.md5(F.lit(f"{seed}:{i}:{j}")), 1, 4), 16, 10
-                    ).cast("long") % 2 == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for j in range(dim)
-            ]
-        )
-        dot = F.aggregate(
-            F.zip_with(vec_col, signs, lambda x, s: (x * s).cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
+def _plane_sign(seed: int, i: int, j: int) -> float:
+    """Deterministic ±1 hyperplane coefficient from md5(seed:i:j) — no
+    stored model; any process derives the identical hyperplanes."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:4]
+    return 1.0 if int(h, 16) % 2 == 0 else -1.0
+
+
+def _signatures_udf(n_planes: int, n_tables: int, dim: int, seed: int):
+    """All n_tables random-hyperplane signatures in ONE Arrow-vectorized
+    pandas UDF: (n, dim) @ (dim, T·P) numpy matmul, bits packed per table.
+    A JVM-expression variant (aggregate/zip_with per plane) is semantically
+    identical but builds a ~n_tables·n_planes·dim-node plan — seconds of
+    driver-side analysis; the UDF keeps the plan O(1) and the math BLAS-
+    vectorized. Returns array<int> of length n_tables."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mats = np.array(
+        [
+            [_plane_sign(seed + 1000 * t, i, j) for j in range(dim)]
+            for t in range(n_tables)
+            for i in range(n_planes)
+        ]
+    )  # (T*P, dim)
+    weights = 1 << np.arange(n_planes)
+
+    @pandas_udf("array<int>")
+    def sigs(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (m @ mats.T >= 0).astype(np.int64)  # (n, T*P)
+        packed = (bits.reshape(len(m), -1, len(weights)) * weights).sum(axis=2)
+        return pd.Series([row.tolist() for row in packed.astype(np.int32)])
+
+    return sigs
 
 
 def lsh_topk(
@@ -104,18 +112,16 @@ def lsh_topk(
     candidate join shuffles on (table, signature) — cardinality ~n/2^planes
     per bucket, so the join is sparse at scale.
     """
-    sigs = [
-        (t, _rh_signature(F.col("__v"), n_planes, dim, seed + 1000 * t))
-        for t in range(n_tables)
-    ]
+    sig_udf = _signatures_udf(n_planes, n_tables, dim, seed)
 
     def with_sigs(df, idc, vc):
-        base = df.select(F.col(idc).alias(idc), F.col(vc).alias("__v"))
-        sig_arr = F.array(
-            *[F.struct(F.lit(t).alias("t"), s.alias("sig")) for t, s in sigs]
-        )
-        # ids + signatures only: vectors stay out of the join/dedup shuffle
-        return base.select(idc, F.explode(sig_arr).alias("__s"))
+        base = df.select(F.col(idc).alias(idc),
+                         sig_udf(F.col(vc)).alias("__sigs"))
+        # ids + (table, signature) only: vectors stay out of the join/dedup
+        return base.select(
+            idc,
+            F.posexplode("__sigs").alias("__t", "__sig"),
+        ).select(idc, F.struct(F.col("__t"), F.col("__sig")).alias("__s"))
 
     dd = data.repartition(data.sparkSession.sparkContext.defaultParallelism)
     d = with_sigs(dd, id_col, vec_col)

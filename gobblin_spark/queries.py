@@ -198,6 +198,55 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_converter_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion converter (≙ CsvToJsonConverter): render orders rows to
+    delimited lines (the raw-file shape), parse back through the converter
+    chain with typed casts, aggregate. Proves the parse path end-to-end."""
+    o = load(spark, sf_dir, "orders")
+    from gobblin_spark.operators.converters import build_chain
+
+    lines = o.select(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+        ).alias("line")
+    )
+    chain = build_chain([
+        {"name": "csv_to_columns", "field": "line", "delimiter": r"\|",
+         "headers": ["orderkey", "status", "total"]},
+        {"name": "cast", "casts": {"orderkey": "long", "total": "double"}},
+    ])
+    parsed = chain.convert(lines)
+    return (
+        parsed.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("total"), 2).alias("sum_total"),
+            F.max("orderkey").alias("max_key"),
+        )
+        .orderBy("status")
+    )
+
+
+SQL_CSV_ROUNDTRIP = """
+WITH lines AS (
+  SELECT o_orderkey::VARCHAR || '|' || o_orderstatus || '|'
+         || o_totalprice::VARCHAR AS line
+  FROM orders),
+parsed AS (
+  SELECT CAST(string_split(line, '|')[1] AS BIGINT) AS orderkey,
+         string_split(line, '|')[2] AS status,
+         CAST(string_split(line, '|')[3] AS DOUBLE) AS total
+  FROM lines)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(total), 2) AS sum_total,
+       MAX(orderkey) AS max_key
+FROM parsed GROUP BY status ORDER BY status
+"""
+
+
 def q_writer_time_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based writer partitioning (≙ TimeBasedWriterPartitioner
     yyyy/MM/dd/HH path derivation): events per partition path."""
@@ -788,6 +837,7 @@ QUERIES = {
     "converter_projection_filter": q_converter_projection_filter,
     "converter_string_splitter": q_converter_string_splitter,
     "converter_from_json": q_converter_from_json,
+    "converter_csv_roundtrip": q_converter_csv_roundtrip,
     "writer_time_partitioner": q_writer_time_partitioner,
     "quality_row_policies": q_quality_row_policies,
     "fork_branch_counts": q_fork_branch_counts,
@@ -817,6 +867,7 @@ def oracle_sqls() -> dict[str, str]:
         "converter_projection_filter": SQL_CONVERTER_PROJ,
         "converter_string_splitter": SQL_STRING_SPLITTER,
         "converter_from_json": SQL_FROM_JSON,
+        "converter_csv_roundtrip": SQL_CSV_ROUNDTRIP,
         "writer_time_partitioner": SQL_TIME_PARTITIONER,
         "quality_row_policies": SQL_QUALITY,
         "fork_branch_counts": SQL_FORK,

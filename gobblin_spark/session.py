@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # Shuffle/spill scratch: benches set GOBBLIN_LOCAL_DIR to tmpfs so a
+    # single VM disk doesn't masquerade as the cluster's aggregate IO.
+    local_dir = os.environ.get("GOBBLIN_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -112,6 +112,7 @@ def generate_change_events(
     ooo_window: int = 100,
     n_groups: int = 8,
     schema_change_seqs: dict[int, int] | None = None,
+    content_tokens: int = 24,
 ) -> DataFrame:
     """F2: the ordered change-event stream derived from the F1 key space.
 
@@ -235,7 +236,8 @@ def generate_change_events(
         ).alias("commit"),
         F.when(is_delete, F.lit(None)).otherwise(lang).alias("lang"),
         F.when(is_delete, F.lit(None)).otherwise(
-            _content_expr(F.col("repo"), F.col("path"), F.col("version"))
+            _content_expr(F.col("repo"), F.col("path"), F.col("version"),
+                          n_tokens=content_tokens)
         ).alias("content"),
         sv.cast("int").alias("schema_version"),
         F.col("version"),

@@ -179,6 +179,30 @@ def test_mor_mode_matches_oracle(spark, tmp_table_dir):
     assert raw.count() == raw.select("repo", "path").distinct().count()
 
 
+def test_task_policy_blocks_publish_then_recovers(spark, tmp_table_dir):
+    """A failing task-level gate (≙ TaskPublisher.canPublish) must leave the
+    batch uncommitted (ranges re-planned next run), not half-published; a
+    permissive engine over the same state then converges normally."""
+    import pytest
+
+    from gobblin_spark.operators.quality import PolicyViolation, RowCountPolicy
+
+    ev = events_fixture(spark, 800)
+    eng = make_engine(spark, tmp_table_dir, ev,
+                      task_policies=[RowCountPolicy(expected=-1)])  # never true
+    v0 = eng.table.current_version()
+    with pytest.raises(PolicyViolation):
+        eng.run_batch()
+    assert eng.table.current_version() == v0  # nothing published
+    pending = eng.store.pending_batches()
+    assert len(pending) == 1 and pending[0]["status"] == "FAILED"
+
+    eng2 = make_engine(spark, tmp_table_dir, ev)  # gate removed
+    eng2.run_until_caught_up()
+    final = eng2.current_state().select("repo", "path", "commit", "lang", "content")
+    assert_frames_equal_by_sha(final.toPandas(), oracle_final(ev.toPandas()))
+
+
 def test_row_quality_gate_err_file(spark, tmp_table_dir):
     from gobblin_spark.operators.quality import PolicyType, RowLevelPolicy
 
