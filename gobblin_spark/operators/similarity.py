@@ -14,6 +14,8 @@ order-stable sums, and deterministic (score desc, id asc) tie-breaks.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
@@ -70,8 +72,6 @@ def _signatures_udf(n_planes: int, n_tables: int, dim: int, seed: int):
     identical but builds a ~n_tables·n_planes·dim-node plan — seconds of
     driver-side analysis; the UDF keeps the plan O(1) and the math BLAS-
     vectorized. Returns array<int> of length n_tables."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     mats = np.array(
