@@ -50,6 +50,7 @@ from gobblin_spark.lakehouse.merge import (
     DELETED_COL,
     SEQ_COL,
     compact,
+    gc_tombstones,
     merge_lww_mor,
     read_current,
 )
@@ -175,6 +176,7 @@ class CdcEngine:
         err_path: str | None = None,
         merge_mode: str = "cow",
         compact_every: int = 8,
+        gc_after_compact: bool = True,
         task_policies: list | None = None,
     ):
         """merge_mode: 'cow' rewrites affected buckets per batch (zero read
@@ -200,6 +202,7 @@ class CdcEngine:
         assert merge_mode in ("cow", "mor")
         self.merge_mode = merge_mode
         self.compact_every = compact_every
+        self.gc_after_compact = gc_after_compact
         self._batches_since_compact = 0
         # task-level publish gates: each has .check(rows_read) -> bool
         # (≙ RowCountPolicy/RowCountRangePolicy gating TaskPublisher.canPublish)
@@ -370,6 +373,20 @@ class CdcEngine:
                     snapshot_version = snap.version
                     self._batches_since_compact = 0
                     tp = mark("compact", tp)
+                    # Tombstone GC: seq is DELIVERY order and planning only
+                    # ever admits seq > committed watermark, so no event
+                    # below the last committed watermark can still arrive —
+                    # tombstones at or below it are dead weight. Horizon is
+                    # the pre-batch watermark (conservative: this batch
+                    # commits later). File rewrite is pruned by per-file
+                    # has_tombstones + min_seq stats.
+                    if (self.gc_after_compact
+                            and int(snap.properties.get("mor_deltas", 0)) == 0):
+                        horizon = self.store.global_low_watermark()
+                        if horizon >= 0:
+                            snap = gc_tombstones(self.table, horizon)
+                            snapshot_version = snap.version
+                            tp = mark("gc", tp)
 
         wall = int((time.time() - t0) * 1000)
         per_unit_wall = wall // max(1, len(states))

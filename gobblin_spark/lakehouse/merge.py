@@ -240,20 +240,47 @@ def compact(
     salt_buckets: int = 0,
     hot_keys: DataFrame | None = None,
     properties: dict[str, Any] | None = None,
+    buckets: set[int] | None = None,
+    min_files_per_bucket: int = 2,
 ) -> Snapshot:
     """Fold MOR delta files into one row per key (LWW by __seq) — the
     reference's standalone compaction job (MRCompactor), as one bucketed
-    Spark job: shuffle by key is bucket-aligned with the storage layout."""
+    Spark job: shuffle by key is bucket-aligned with the storage layout.
+
+    Incremental by default: only buckets holding ≥ min_files_per_bucket
+    files are rewritten (a bucket with one file is already one-row-per-key);
+    pass ``buckets`` to restrict further. At 100 TB this is what bounds
+    compaction cost to the actively-written part of the table — the analog
+    of the reference recompacting only datasets whose late-data ratio
+    crossed a threshold (MRCompactor.java:147-157)."""
     snap = table.snapshot()
     if int(snap.properties.get("mor_deltas", 0)) == 0:
         return snap
-    df = table.read()
+    per_bucket: dict[int, int] = {}
+    for f in snap.files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    target_buckets = {
+        b for b, n in per_bucket.items() if n >= min_files_per_bucket
+    }
+    if buckets is not None:
+        target_buckets &= buckets
+    if not target_buckets:
+        props = dict(properties or {})
+        props["mor_deltas"] = 0
+        return table.commit(keep_files=snap.files, add_files=[],
+                            properties=props, expected_version=snap.version)
+    keep = [f for f in snap.files if f.bucket not in target_buckets]
+    df = table.read(buckets=target_buckets)
     final = lww_reduce(df, snap.bucket_cols, SEQ_COL, salt_buckets, hot_keys)
     new_files = table.write_data_files(final, seq_col=SEQ_COL)
     props = dict(properties or {})
-    props["mor_deltas"] = 0
+    # deltas remain only if a bucket subset was explicitly requested
+    props["mor_deltas"] = 0 if buckets is None else int(
+        any(per_bucket.get(f.bucket, 0) >= min_files_per_bucket
+            for f in keep)
+    )
     return table.commit(
-        keep_files=[],
+        keep_files=keep,
         add_files=new_files,
         properties=props,
         expected_version=snap.version,
@@ -285,7 +312,10 @@ def gc_tombstones(table: LakeTable, horizon_seq: int) -> Snapshot:
     if int(snap.properties.get("mor_deltas", 0)) > 0:
         raise ValueError("gc_tombstones on a MOR table: run compact() first")
     rewrite = [
-        f for f in snap.files if f.min_seq is None or f.min_seq <= horizon_seq
+        f
+        for f in snap.files
+        if (f.min_seq is None or f.min_seq <= horizon_seq)
+        and f.has_tombstones is not False  # stats-pruned: skip clean files
     ]
     keep = [f for f in snap.files if f not in rewrite]
     if not rewrite:

@@ -72,6 +72,9 @@ class DataFile:
     schema_version: int
     min_seq: int | None = None
     max_seq: int | None = None
+    # parquet-stats-derived: does this file contain tombstone rows?
+    # (None = unknown/legacy manifest; treated as "maybe" by GC pruning)
+    has_tombstones: bool | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -82,6 +85,7 @@ class DataFile:
             "schema_version": self.schema_version,
             "min_seq": self.min_seq,
             "max_seq": self.max_seq,
+            "has_tombstones": self.has_tombstones,
         }
 
     @staticmethod
@@ -335,21 +339,34 @@ class LakeTable:
             if meta.num_rows == 0:
                 return None
             min_seq = max_seq = None
-            if seq_col is not None:
-                idx = None
-                arrow_schema = meta.schema.to_arrow_schema()
-                for i, field_name in enumerate(arrow_schema.names):
-                    if field_name == seq_col:
-                        idx = i
-                if idx is not None:
-                    mins, maxs = [], []
-                    for rg in range(meta.num_row_groups):
-                        st = meta.row_group(rg).column(idx).statistics
-                        if st is not None and st.has_min_max:
-                            mins.append(st.min)
-                            maxs.append(st.max)
-                    if mins:
-                        min_seq, max_seq = int(min(mins)), int(max(maxs))
+            has_tombstones: bool | None = None
+            idx = None
+            del_idx = None
+            arrow_schema = meta.schema.to_arrow_schema()
+            for i, field_name in enumerate(arrow_schema.names):
+                if seq_col is not None and field_name == seq_col:
+                    idx = i
+                if field_name == "__deleted":
+                    del_idx = i
+            if idx is not None:
+                mins, maxs = [], []
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                if mins:
+                    min_seq, max_seq = int(min(mins)), int(max(maxs))
+            if del_idx is not None:
+                flags = []
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(del_idx).statistics
+                    if st is None or not st.has_min_max:
+                        flags = []
+                        break
+                    flags.append(bool(st.max))
+                if flags:
+                    has_tombstones = any(flags)
             return DataFile(
                 path=os.path.relpath(full, self.root),
                 bucket=bucket,
@@ -358,6 +375,7 @@ class LakeTable:
                 schema_version=schema_version,
                 min_seq=min_seq,
                 max_seq=max_seq,
+                has_tombstones=has_tombstones,
             )
 
         if not targets:
