@@ -44,6 +44,13 @@ class WorkUnit:
     est_records: int
     est_cost: float  # estimated ms
     retry_of: str | None = None
+    # True for a zero-record watermark-advance unit: the group has NO events
+    # in the bounded planning window, so its watermark is committed forward
+    # without any extract work. Keeps the global low watermark moving past
+    # quiet groups — without these, the O(cap) window scan would freeze at
+    # the quietest group's watermark and planning would stall with backlog
+    # beyond the window.
+    advance: bool = False
 
 
 @dataclass
@@ -167,8 +174,14 @@ class Planner:
 
         # 2. Global admission cap: seq is globally dense, so a seq span is a
         # record count; trim high to low + cap.
+        # A group with no committed watermark starts at global_low, not -1:
+        # the scan has covered everything <= global_low in earlier windows,
+        # so a first-seen group provably has no events there (it would have
+        # been present in those windows' stats and committed).
         lows = {
-            int(r["event_group"]): watermarks.get(int(r["event_group"]), -1)
+            int(r["event_group"]): max(
+                watermarks.get(int(r["event_group"]), -1), global_low
+            )
             for r in stats_rows
         }
         avail_high = max(int(r["max_seq"]) for r in stats_rows)
@@ -177,6 +190,30 @@ class Planner:
 
         cost_stats = self.store.group_cost_stats()
         units: list[WorkUnit] = []
+
+        # Quiet-group watermark advance: a group with a committed watermark
+        # but NO events in the scanned (global_low, global_low+cap] window
+        # (stopped producing, or its next event lies beyond the window) must
+        # still advance, or global_low freezes and the window never moves.
+        # Safe because seq is globally dense and the whole window was
+        # scanned: an absent group provably has no events <= batch_high
+        # above its watermark, so committing it to batch_high loses nothing.
+        present = {int(r["event_group"]) for r in stats_rows}
+        for g, wm in watermarks.items():
+            if g in present or wm >= batch_high:
+                continue
+            units.append(
+                WorkUnit(
+                    workunit_id=f"{batch_id}-g{g}-adv",
+                    event_group=g,
+                    low_seq=wm,
+                    high_seq=batch_high,
+                    est_records=0,
+                    est_cost=0.0,
+                    advance=True,
+                )
+            )
+
         for r in stats_rows:
             g = int(r["event_group"])
             lo = lows[g]
@@ -247,6 +284,8 @@ class Planner:
         pred = None
         by_group: dict[int, list[WorkUnit]] = {}
         for u in units:
+            if u.advance:
+                continue  # zero-record watermark advance: nothing to read
             by_group.setdefault(u.event_group, []).append(u)
         for g, us in by_group.items():
             lo = min(u.low_seq for u in us)

@@ -131,3 +131,80 @@ def test_pending_batch_replanned_with_same_ranges(spark, tmp_table_dir):
     assert {(u.event_group, u.low_seq, u.high_seq) for u in plan_retry.units} \
         == {(u.event_group, u.low_seq, u.high_seq) for u in plan1.units}
     assert all(u.retry_of for u in plan_retry.units)
+
+
+def test_quiet_group_does_not_freeze_window(spark, tmp_table_dir):
+    """Regression: a group whose events lie entirely beyond the bounded
+    planning window (or that stops producing) must not freeze the global low
+    watermark. Group 0 owns seqs 0..99, group 1 owns 100..199; with cap=50
+    group 1 is invisible for the first windows — the planner must emit
+    zero-record advance units so the window keeps moving, and eventually
+    plan ALL 200 events."""
+    st = StateStore(tmp_table_dir)
+    pl = Planner(st, max_records_per_batch=50, target_bins=4)
+    events = spark.range(200).select(
+        F.col("id").alias("seq"),
+        F.when(F.col("id") < 100, 0).otherwise(1).cast("int")
+        .alias("event_group"),
+    )
+    planned_real = 0
+    for _ in range(20):
+        plan = pl.plan_batch(events)
+        if plan.empty:
+            break
+        st.begin_batch(plan.batch_id, plan.to_states())
+        st.commit_batch(plan.batch_id, plan.to_states(), 1)
+        planned_real += sum(
+            u.high_seq - u.low_seq for u in plan.units if not u.advance
+        )
+    else:
+        raise AssertionError("planner did not converge in 20 batches")
+    wm = st.last_committed_watermarks()
+    assert wm[0] >= 99 and wm[1] == 199, wm
+    # every real range got planned exactly once (no overlap, no gap)
+    assert planned_real == 200
+
+
+def test_quiet_group_engine_end_to_end(spark, tmp_table_dir):
+    """Same scenario through the full engine: all of one group's events sit
+    beyond the first admission window; run_until_caught_up must still apply
+    every event and converge to the oracle final state."""
+    import os
+
+    import pyspark.sql.functions as F2
+
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.sources.change_events import (
+        expected_final_state,
+        generate_change_events,
+    )
+
+    ev = generate_change_events(
+        spark, n_updates=600, n_repos=6, paths_per_repo=30,
+        dup_frac=0.0, delete_frac=0.05, ooo_window=20, n_groups=4,
+    )
+    # Force the pathology: remap all events with seq >= 300 into a single
+    # "late" group 9 that is invisible until the window reaches seq 300.
+    ev = ev.withColumn(
+        "event_group",
+        F2.when(F2.col("seq") >= 300, F2.lit(9)).otherwise(
+            F2.col("event_group")).cast("int"),
+    )
+    ev_path = os.path.join(tmp_table_dir, "events")
+    ev.write.mode("overwrite").parquet(ev_path)
+    stored = spark.read.parquet(ev_path)
+
+    eng = CdcEngine(
+        spark, stored,
+        table_root=os.path.join(tmp_table_dir, "table"),
+        state_root=os.path.join(tmp_table_dir, "state"),
+        max_records_per_batch=100, n_buckets=8,
+    )
+    results = eng.run_until_caught_up(max_batches=60)
+    assert results, "no batches ran"
+    got = eng.current_state().select("repo", "path", "commit").orderBy(
+        "repo", "path")
+    want = expected_final_state(stored).select(
+        "repo", "path", "commit").orderBy("repo", "path")
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()]
