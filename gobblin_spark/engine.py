@@ -217,6 +217,7 @@ class CdcEngine:
                 KEYS,
                 n_buckets=n_buckets,
                 properties={"registry_version": 1},
+                key_cols=KEYS,
             )
 
     # ------------------------------------------------------------------ api
@@ -271,12 +272,16 @@ class CdcEngine:
                 F.count(F.lit(1)).alias("cnt"),
                 F.max("schema_version").alias("sv_max"),
                 F.collect_set("schema_version").alias("svs"),
+                # grouping()=1 marks the rollup grand-total row — a genuine
+                # NULL-repo data group has grouping()=0, so the total is
+                # unambiguous even with NULL keys in the data.
+                F.grouping("repo").alias("__istotal"),
             )
-            .filter(F.col("repo").isNull() | (F.col("cnt") > thr))
+            .filter((F.col("__istotal") == 1) | (F.col("cnt") > thr))
             .collect()
         )
         # (an all-marker batch — op='S' only — aggregates to no rows at all)
-        total = next((r for r in stats if r["repo"] is None), None)
+        total = next((r for r in stats if r["__istotal"] == 1), None)
         if total is None:
             n_rows, sv_max, versions = 0, 1, [1]
         else:
@@ -285,7 +290,8 @@ class CdcEngine:
         hot = [
             r["repo"]
             for r in sorted(
-                (r for r in stats if r["repo"] is not None),
+                (r for r in stats
+                 if r["__istotal"] == 0 and r["repo"] is not None),
                 key=lambda r: -r["cnt"],
             )[:64]
         ]
@@ -316,7 +322,7 @@ class CdcEngine:
 
         # Row-quality gates (failures → err file, never the target).
         checker = RowLevelPolicyChecker(self.row_policies, self.err_path)
-        quality = checker.execute(converted)
+        quality = checker.execute(converted, run_id=batch_id)
         good = quality.passed
         # exact passed-row count only when policies can actually drop rows
         rows_read = good.count() if self.row_policies else n_rows

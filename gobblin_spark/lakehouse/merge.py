@@ -141,6 +141,10 @@ def merge_lww(
     snap = table.snapshot()
     if expected_version is None:
         expected_version = snap.version
+    if snap.key_cols and set(keys) != set(snap.merge_keys):
+        raise ValueError(
+            f"merge keys {list(keys)} != table keys {snap.merge_keys}"
+        )
     payload_cols = [
         f.name
         for f in snap.schema.fields
@@ -213,6 +217,10 @@ def merge_lww_mor(
     snap = table.snapshot()
     if expected_version is None:
         expected_version = snap.version
+    if snap.key_cols and set(keys) != set(snap.merge_keys):
+        raise ValueError(
+            f"merge keys {list(keys)} != table keys {snap.merge_keys}"
+        )
     payload_cols = [
         f.name for f in snap.schema.fields if f.name not in (SEQ_COL, DELETED_COL)
     ]
@@ -271,7 +279,7 @@ def compact(
                             properties=props, expected_version=snap.version)
     keep = [f for f in snap.files if f.bucket not in target_buckets]
     df = table.read(buckets=target_buckets)
-    final = lww_reduce(df, snap.bucket_cols, SEQ_COL, salt_buckets, hot_keys)
+    final = lww_reduce(df, snap.merge_keys, SEQ_COL, salt_buckets, hot_keys)
     new_files = table.write_data_files(final, seq_col=SEQ_COL)
     props = dict(properties or {})
     # deltas remain only if a bucket subset was explicitly requested
@@ -294,7 +302,7 @@ def read_current(table: LakeTable, version: int | None = None) -> DataFrame:
     df = table.read(version)
     snap = table.snapshot(version)
     if int(snap.properties.get("mor_deltas", 0)) > 0:
-        df = lww_reduce(df, snap.bucket_cols, SEQ_COL)
+        df = lww_reduce(df, snap.merge_keys, SEQ_COL)
     if DELETED_COL in df.columns:
         df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL, SEQ_COL)
     return df
@@ -320,10 +328,11 @@ def gc_tombstones(table: LakeTable, horizon_seq: int) -> Snapshot:
     keep = [f for f in snap.files if f not in rewrite]
     if not rewrite:
         return snap
-    import os
-
-    paths = [os.path.join(table.root, f.path) for f in rewrite]
-    df = table.spark.read.parquet(*paths)
+    # Schema-aware read: old-schema-version files (single-file buckets that
+    # incremental compaction skipped) must be conformed to the current
+    # schema before the rewrite is re-labeled at the current version — a raw
+    # parquet read would silently null renamed/added columns.
+    df = table.read_file_set(rewrite, snap)
     cleaned = df.filter(~(F.col(DELETED_COL) & (F.col(SEQ_COL) <= horizon_seq)))
     new_files = table.write_data_files(cleaned, seq_col=SEQ_COL)
     return table.commit(

@@ -105,10 +105,19 @@ class Snapshot:
     properties: dict[str, Any] = field(default_factory=dict)
     parent: int | None = None
     timestamp_ms: int = 0
+    # Merge primary keys (LWW dedup identity). May be a superset of
+    # bucket_cols; None in legacy manifests means keys == bucket_cols.
+    key_cols: list[str] | None = None
 
     @property
     def schema(self) -> StructType:
         return StructType.fromJson(self.schema_json)
+
+    @property
+    def merge_keys(self) -> list[str]:
+        """The key columns LWW merge/compaction must group by. Falls back to
+        bucket_cols for manifests written before key_cols existed."""
+        return self.key_cols if self.key_cols else self.bucket_cols
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -120,6 +129,7 @@ class Snapshot:
             "schema_log": self.schema_log,
             "n_buckets": self.n_buckets,
             "bucket_cols": self.bucket_cols,
+            "key_cols": self.key_cols,
             "properties": self.properties,
             "files": [f.to_json() for f in self.files],
         }
@@ -135,6 +145,7 @@ class Snapshot:
             schema_log=d.get("schema_log", []),
             n_buckets=d["n_buckets"],
             bucket_cols=d["bucket_cols"],
+            key_cols=d.get("key_cols"),
             properties=d.get("properties", {}),
             files=[DataFile.from_json(f) for f in d["files"]],
         )
@@ -175,7 +186,17 @@ class LakeTable:
         bucket_cols: list[str],
         n_buckets: int = 32,
         properties: dict[str, Any] | None = None,
+        key_cols: list[str] | None = None,
     ) -> "LakeTable":
+        """key_cols: the LWW merge primary keys; defaults to bucket_cols.
+        bucket_cols MUST be a subset of key_cols — the bucket hash must be a
+        function of the key, or keys that hash apart could never be
+        co-located and compaction would collapse distinct keys."""
+        keys = list(key_cols) if key_cols else list(bucket_cols)
+        if not set(bucket_cols) <= set(keys):
+            raise ValueError(
+                f"bucket_cols {bucket_cols} must be a subset of key_cols {keys}"
+            )
         t = LakeTable(spark, root)
         os.makedirs(t._meta_dir, exist_ok=True)
         os.makedirs(os.path.join(root, _DATA), exist_ok=True)
@@ -186,6 +207,7 @@ class LakeTable:
             schema_json=schema.jsonValue(),
             n_buckets=n_buckets,
             bucket_cols=list(bucket_cols),
+            key_cols=keys,
             files=[],
             properties=properties or {},
             timestamp_ms=int(time.time() * 1000),
@@ -274,6 +296,7 @@ class LakeTable:
             schema_log=base.schema_log + (schema_log_append or []),
             n_buckets=base.n_buckets,
             bucket_cols=base.bucket_cols,
+            key_cols=base.key_cols,
             properties=props,
             files=list(keep_files) + list(add_files),
         )
@@ -467,10 +490,21 @@ class LakeTable:
                 for f in files
                 if f.min_seq is None or (f.max_seq > lo and f.min_seq <= hi)
             ]
+        return self.read_file_set(files, snap)
+
+    def read_file_set(
+        self, files: list[DataFile], snap: Snapshot | None = None
+    ) -> DataFrame:
+        """Read an explicit list of manifest files, conforming each file to
+        the snapshot's CURRENT schema via the schema_log (grouped by the
+        schema_version each file was written with — typically one group).
+        Used by read() and by maintenance rewrites (GC/compaction), which
+        must never bypass schema conformance: a raw parquet read over
+        mixed-version files silently nulls renamed columns."""
+        if snap is None:
+            snap = self.snapshot()
         if not files:
             return self.spark.createDataFrame([], snap.schema)
-        # Group by the schema version files were written with; conform each
-        # group to the current schema, then union. Typically one group.
         by_sv: dict[int, list[str]] = {}
         for f_ in files:
             by_sv.setdefault(f_.schema_version, []).append(

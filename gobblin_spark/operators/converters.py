@@ -43,6 +43,12 @@ class Converter:
         raise NotImplementedError
 
 
+class ConversionFailureExceeded(RuntimeError):
+    """Corrupt-row ratio crossed the converter's allowance — abort the task
+    (≙ JsonIntermediateToAvroConverter.java:106-119 failing the job once
+    failed conversions exceed CONVERTER_AVRO_MAX_CONVERSION_FAILURES)."""
+
+
 # ----------------------------------------------------------- basic converters
 @dataclass
 class ProjectionConverter(Converter):
@@ -109,11 +115,18 @@ class ToJsonConverter(Converter):
 class FromJsonConverter(Converter):
     """JSON string column → typed columns, permissive with a max-failure
     threshold (≙ JsonIntermediateToAvroConverter.java:94-119: nullify missing
-    fields + CONVERTER_AVRO_MAX_CONVERSION_FAILURES)."""
+    fields + CONVERTER_AVRO_MAX_CONVERSION_FAILURES — the reference FAILS
+    the task once failed conversions exceed the allowance).
+
+    max_failures_ratio: None = permissive (silently drop corrupt rows, never
+    count). A float r enforces the reference's abort semantics: one counting
+    aggregate over the batch; if corrupt/total > r the convert raises
+    ConversionFailureExceeded, else corrupt rows are dropped as before.
+    """
 
     field: str = "json"
     schema_ddl: str = ""
-    max_failures_ratio: float = 0.0
+    max_failures_ratio: float | None = None
     _corrupt: str = "__corrupt"
 
     def convert(self, df: DataFrame) -> DataFrame:
@@ -128,13 +141,24 @@ class FromJsonConverter(Converter):
                 {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": self._corrupt},
             ),
         )
+        corrupt_pred = F.col(f"__parsed.{self._corrupt}").isNotNull()
+        if self.max_failures_ratio is not None:
+            agg = parsed.agg(
+                F.sum(corrupt_pred.cast("long")).alias("bad"),
+                F.count(F.lit(1)).alias("total"),
+            ).collect()[0]
+            bad, total = int(agg["bad"] or 0), int(agg["total"])
+            if total > 0 and bad / total > self.max_failures_ratio:
+                raise ConversionFailureExceeded(
+                    f"{bad}/{total} rows failed JSON conversion "
+                    f"(> max_failures_ratio={self.max_failures_ratio})"
+                )
         out_cols = [
             F.col(f"__parsed.{f.name}").alias(f.name)
             for f in schema.fields
             if f.name != self._corrupt
         ]
-        ok = parsed.filter(F.col(f"__parsed.{self._corrupt}").isNull()).select(*out_cols)
-        return ok
+        return parsed.filter(~corrupt_pred).select(*out_cols)
 
 
 @dataclass

@@ -55,7 +55,7 @@ class RowLevelPolicyChecker:
         self.policies = policies
         self.err_path = err_path
 
-    def execute(self, df: DataFrame) -> RowQualityResult:
+    def execute(self, df: DataFrame, run_id: str | None = None) -> RowQualityResult:
         """Split into pass/fail, enforcing FAIL policies.
 
         One pass: per-policy violation counts come from a single aggregate;
@@ -63,6 +63,12 @@ class RowLevelPolicyChecker:
         of the batch (count + write) — acceptable because batch ≪ table; an
         observation-based single-scan variant is possible but hides the
         err-file split.
+
+        run_id (e.g. the batch id) keys the err-file sink: failures land in
+        ``{err_path}/run_id={run_id}`` with overwrite, so a crash-replayed
+        batch rewrites the same quarantine partition instead of appending
+        duplicates (the target table converges via idempotent MERGE; the err
+        sink must converge the same way).
         """
         if not self.policies:
             return RowQualityResult(df, df.limit(0), {})
@@ -89,7 +95,14 @@ class RowLevelPolicyChecker:
         passed = df.filter(all_pass)
         failed = df.filter(~all_pass)
         if self.err_path:
-            failed.write.mode("append").parquet(self.err_path)
+            if run_id is not None:
+                import os
+
+                failed.write.mode("overwrite").parquet(
+                    os.path.join(self.err_path, f"run_id={run_id}")
+                )
+            else:
+                failed.write.mode("append").parquet(self.err_path)
         return RowQualityResult(passed, failed, counts)
 
 

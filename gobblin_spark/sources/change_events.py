@@ -172,13 +172,15 @@ def generate_change_events(
     # key ranges), rank locally, then add cumulative partition offsets —
     # O(P) driver metadata, every downstream expression stays parallel.
     n_part = max(spark.sparkContext.defaultParallelism, n_groups)
-    df = (
+    persisted = (
         df.repartitionByRange(n_part, "pos", "id")
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
     w_local = Window.partitionBy("__pid").orderBy("pos", "id")
-    df = df.withColumn("__lrank", F.row_number().over(w_local).cast("long"))
+    df = persisted.withColumn(
+        "__lrank", F.row_number().over(w_local).cast("long")
+    )
     counts = {
         r["__pid"]: r["cnt"]
         for r in df.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -268,6 +270,12 @@ def generate_change_events(
             schema=nullable_schema,
         )
         events = events.unionByName(markers)
+    # Release the rank-stage cache: the per-partition offsets are already
+    # collected and everything downstream is deterministic, so a later
+    # recompute of the returned (lazy) plan yields identical rows. Callers
+    # materialize the fixture to parquet once anyway; without this the
+    # intermediate leaked executor storage to library users.
+    persisted.unpersist()
     return events
 
 

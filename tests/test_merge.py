@@ -170,3 +170,65 @@ def test_merge_only_rewrites_affected_buckets(spark, tmp_table_dir):
     assert len(new_buckets) == 1  # exactly one bucket rewritten
     assert all(f.bucket not in new_buckets for f in kept)
     assert len(kept) > 0
+
+
+def test_gc_preserves_schema_evolution(spark, tmp_table_dir):
+    """Regression: gc_tombstones must conform old-schema-version files to
+    the current schema before re-labeling the rewrite at the current
+    version. A raw parquet read would silently null renamed columns."""
+    from gobblin_spark.engine import (
+        CdcEngine, default_registry, evolve_target_to,
+    )
+    from gobblin_spark.lakehouse.table import LakeTable as LT
+
+    t = LakeTable.create(spark, tmp_table_dir + "/t", TARGET_SCHEMA, KEYS,
+                         n_buckets=4, key_cols=KEYS,
+                         properties={"registry_version": 1})
+    rows = [
+        ("r1", f"p{i}", f"c{i}", "py", f"content {i}", i, i % 3 == 0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, TARGET_SCHEMA)
+    t.append(df, seq_col="__seq")
+    # evolve v1 -> v4 (adds size_bytes, renames lang -> language); files on
+    # disk stay at v1
+    evolve_target_to(t, default_registry(), 4)
+    snap = gc_tombstones(t, horizon_seq=100)
+    # all v1 files holding tombstones were rewritten at the current version
+    out = read_current(t).orderBy("path").collect()
+    assert len(out) == 20  # 10 tombstones dropped
+    assert all(r["language"] == "py" for r in out), \
+        "rename lost during GC rewrite"
+    assert "lang" not in read_current(t).columns
+
+
+def test_compact_uses_table_keys_not_buckets(spark, tmp_table_dir):
+    """A table bucketed on a strict subset of its merge keys must still
+    compact per full key — distinct keys sharing a bucket column must NOT
+    be collapsed."""
+    from gobblin_spark.lakehouse.merge import compact, merge_lww_mor
+
+    t = LakeTable.create(spark, tmp_table_dir + "/t", TARGET_SCHEMA,
+                         bucket_cols=["repo"], n_buckets=4, key_cols=KEYS)
+    rows = [
+        ("r1", f"p{i}", f"c{i}", "py", f"content {i}", i, False)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, TARGET_SCHEMA).select(
+        "repo", "path", "commit", "lang", "content",
+        F.col("__seq").alias("seq"),
+        F.when(F.col("__deleted"), "D").otherwise("U").alias("op"),
+    )
+    merge_lww_mor(t, df, KEYS, seq_col="seq")
+    merge_lww_mor(t, df, KEYS, seq_col="seq")  # duplicate delivery
+    compact(t)
+    out = read_current(t)
+    # 10 distinct (repo, path) keys must all survive compaction even though
+    # they share one bucket value (repo='r1')
+    assert out.count() == 10
+
+
+def test_bucket_cols_must_be_subset_of_keys(spark, tmp_table_dir):
+    with pytest.raises(ValueError):
+        LakeTable.create(spark, tmp_table_dir + "/bad", TARGET_SCHEMA,
+                         bucket_cols=["repo", "commit"], key_cols=KEYS)

@@ -77,3 +77,48 @@ def test_gc_tombstones_drops_only_old_deletes(spark, tmp_table_dir):
     # visible state unchanged by GC
     vis = read_current(table).select("repo", "path", "content").orderBy("repo")
     assert [tuple(r) for r in vis.collect()] == [("r1", "b", "x2")]
+
+
+def test_from_json_max_failures_ratio(spark):
+    from gobblin_spark.operators.converters import (
+        ConversionFailureExceeded,
+        FromJsonConverter,
+    )
+
+    good = [(f'{{"a": {i}}}',) for i in range(8)]
+    bad = [("{not json",), ("also bad",)]
+    df = spark.createDataFrame(good + bad, ["json"])
+    # 2/10 corrupt: allowed at 0.3 (drops them), aborts at 0.1
+    conv = FromJsonConverter(field="json", schema_ddl="a int",
+                             max_failures_ratio=0.3)
+    assert conv.convert(df).count() == 8
+    strict = FromJsonConverter(field="json", schema_ddl="a int",
+                               max_failures_ratio=0.1)
+    import pytest as _pytest
+    with _pytest.raises(ConversionFailureExceeded):
+        strict.convert(df)
+    # None (default) = permissive drop, no counting
+    assert FromJsonConverter(field="json",
+                             schema_ddl="a int").convert(df).count() == 8
+
+
+def test_quarantine_replay_is_idempotent(spark, tmp_table_dir):
+    """Crash-replaying a batch must not duplicate err-file rows: the sink is
+    keyed by run_id and overwritten."""
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.operators.quality import (
+        PolicyType,
+        RowLevelPolicy,
+        RowLevelPolicyChecker,
+    )
+
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") % 5 == 0).alias("bad"))
+    pol = [RowLevelPolicy("no_bad", ~F.col("bad"), PolicyType.ERR_FILE)]
+    err = tmp_table_dir + "/err"
+    chk = RowLevelPolicyChecker(pol, err_path=err)
+    chk.execute(df, run_id="batch1")
+    chk.execute(df, run_id="batch1")  # replay after simulated crash
+    quarantined = spark.read.parquet(err + "/run_id=batch1")
+    assert quarantined.count() == 4  # ids 0,5,10,15 — once each
