@@ -29,13 +29,15 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"),
                                                F.lit("\x00")) for c in cols]))
     with_h = df.select(F.col(id_col), h.alias("__h"))
-    groups = with_h.groupBy("__h").agg(
-        F.min(id_col).alias("kept_id"),
-        F.collect_list(id_col).alias("ids"),
-    )
+    # min-per-group + join-back, NOT collect_list: a degenerate group (e.g.
+    # 10^9 empty documents) must never materialize as one giant array row on
+    # a single executor. Both sides shuffle on the same hash key, so the
+    # join is co-partitioned with the aggregate.
+    groups = with_h.groupBy("__h").agg(F.min(id_col).alias("kept_id"))
     return (
-        groups.select("kept_id", F.explode("ids").alias("dup_id"))
-        .filter(F.col("dup_id") != F.col("kept_id"))
+        with_h.join(groups, "__h")
+        .filter(F.col(id_col) != F.col("kept_id"))
+        .select("kept_id", F.col(id_col).alias("dup_id"))
     )
 
 
@@ -186,21 +188,27 @@ def simhash_expr(text_col, bits: int = 32):
     Pure JVM expressions: aggregate over the token array.
     """
     toks = tokens_expr(text_col)
-    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    # Hash each token ONCE into an array of 32-bit ints, then aggregate bits
+    # over the hash array — the naive formulation re-derived md5(token)
+    # inside the per-bit lambda (32 md5 evaluations per token unless
+    # Catalyst happens to CSE it), which dominated the query's cost.
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
     # accumulate per-bit ±1 counts via aggregate into an array of counts.
     # Bit extraction uses floor(h / 2^b) % 2 because shiftright needs a
     # literal shift count; h < 2^32 so double math is exact.
     counts = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(bits - 1)),
                 lambda b: F.when(
                     F.pmod(
                         F.floor(
-                            tok_hash(t) / F.pow(F.lit(2.0), b.cast("double"))
+                            h / F.pow(F.lit(2.0), b.cast("double"))
                         ).cast("long"),
                         F.lit(2),
                     )

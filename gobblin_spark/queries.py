@@ -505,8 +505,11 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force, double math, rounded)."""
-    emb = load(spark, sf_dir, "embeddings")
+    """Embedding-cosine near-dup pairs (brute force, double math, rounded).
+    Exact-oracle tier: O(n²) by design, so it runs on a deterministic 1-in-3
+    sample — unbounded all-pairs would be 10,000× the work at 100× the data.
+    The scale path is the LSH-bucketed join in operators/similarity.py."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
     from gobblin_spark.operators.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
@@ -515,7 +518,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMB_NEARDUP = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id % 3 = 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v) /
              (sqrt(list_dot_product(a.v, a.v)) *

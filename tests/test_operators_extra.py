@@ -122,3 +122,22 @@ def test_quarantine_replay_is_idempotent(spark, tmp_table_dir):
     chk.execute(df, run_id="batch1")  # replay after simulated crash
     quarantined = spark.read.parquet(err + "/run_id=batch1")
     assert quarantined.count() == 4  # ids 0,5,10,15 — once each
+
+
+def test_exact_dedup_plan_has_no_collect_list(spark):
+    """Scale guard: the dedup pairing must be min-per-group + join-back —
+    a collect_list per content-hash group would materialize a degenerate
+    group (e.g. billions of empty docs) as one giant array row."""
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.operators.dedup import exact_dedup
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("c"))
+    pairs = exact_dedup(df, ["c"], "id")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    # 100 rows in 7 groups -> 93 shed duplicates
+    assert pairs.count() == 93
+    kept = {r["kept_id"] for r in pairs.collect()}
+    assert kept == set(range(7))
