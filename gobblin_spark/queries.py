@@ -112,6 +112,108 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _time_partition_counts(spark, ev, parts, granularity: str) -> DataFrame:
+    """Count events per planned watermark partition: one broadcast range
+    join of the O(#partitions) plan against the event scan — the extract
+    predicate shape a query-based source would push down per partition."""
+    from gobblin_spark.plans.time_partition import wm_to_dt
+
+    rows = [(int(lwm), int(hwm), wm_to_dt(lwm), wm_to_dt(hwm))
+            for lwm, hwm in parts]
+    pdf = spark.createDataFrame(
+        rows, "low_wm long, high_wm long, lo_ts timestamp, hi_ts timestamp")
+    d = ev.select(F.date_trunc(granularity, F.col("ts")).alias("__t"))
+    return (
+        d.join(F.broadcast(pdf),
+               (F.col("__t") >= F.col("lo_ts")) & (F.col("__t") <= F.col("hi_ts")))
+        .groupBy("low_wm", "high_wm")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("low_wm")
+    )
+
+
+def q_time_partition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND_DAILY extract over a DATE watermark: the planner splits
+    [min(ts), max(ts)] into the reference's inclusive day ranges
+    (≙ Partitioner.getPartitions + DateWatermark.getIntervals — including
+    the reference's days+1 interval convention: a 1-day request yields
+    2-day inclusive ranges), then counts events per planned partition."""
+    from gobblin_spark.plans.time_partition import (
+        ExtractType,
+        TimePartitioner,
+        WatermarkType,
+        dt_to_wm,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    p = TimePartitioner(
+        extract_type=ExtractType.APPEND_DAILY,
+        watermark_type=WatermarkType.DATE,
+        partition_interval=1,
+        max_partitions=100,
+        start_value=dt_to_wm(b["lo"]),
+    )
+    parts = p.get_partitions(None, b["hi"])
+    return _time_partition_counts(spark, ev, parts, "day")
+
+
+# Replays the reference's day-interval math in SQL: interval request of
+# 1 day → stride 2 inclusive day ranges anchored at the min day.
+SQL_TIME_PARTITION_DAILY = """
+WITH b AS (SELECT date_trunc('day', min(ts)) AS lo,
+                  date_trunc('day', max(ts)) AS hi FROM events),
+e AS (SELECT date_trunc('day', ts) AS d FROM events),
+j AS (SELECT CAST(floor(date_diff('day', b.lo, e.d) / 2) AS BIGINT) AS part,
+             b.lo, b.hi FROM e CROSS JOIN b)
+SELECT CAST(strftime(lo + to_days(CAST(part * 2 AS INT)),
+                     '%Y%m%d%H%M%S') AS BIGINT) AS low_wm,
+       CAST(strftime(least(lo + to_days(CAST(part * 2 + 1 AS INT)), hi),
+                     '%Y%m%d%H%M%S') AS BIGINT) AS high_wm,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM j GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def q_time_partition_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND_HOURLY extract over an HOUR watermark: 4-hour partitions
+    (reference convention: +1 → stride-5 inclusive hour ranges),
+    counted per partition (≙ HourWatermark.getIntervals)."""
+    from gobblin_spark.plans.time_partition import (
+        ExtractType,
+        TimePartitioner,
+        WatermarkType,
+        dt_to_wm,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    p = TimePartitioner(
+        extract_type=ExtractType.APPEND_HOURLY,
+        watermark_type=WatermarkType.HOUR,
+        partition_interval=4,
+        max_partitions=1000,
+        start_value=dt_to_wm(b["lo"]),
+    )
+    parts = p.get_partitions(None, b["hi"])
+    return _time_partition_counts(spark, ev, parts, "hour")
+
+
+SQL_TIME_PARTITION_HOURLY = """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                  date_trunc('hour', max(ts)) AS hi FROM events),
+e AS (SELECT date_trunc('hour', ts) AS h FROM events),
+j AS (SELECT CAST(floor(date_diff('hour', b.lo, e.h) / 5) AS BIGINT) AS part,
+             b.lo, b.hi FROM e CROSS JOIN b)
+SELECT CAST(strftime(lo + to_hours(CAST(part * 5 AS INT)),
+                     '%Y%m%d%H%M%S') AS BIGINT) AS low_wm,
+       CAST(strftime(least(lo + to_hours(CAST(part * 5 + 4 AS INT)), hi),
+                     '%Y%m%d%H%M%S') AS BIGINT) AS high_wm,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM j GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 def q_converter_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Converter chain: projection + equality filter + regex filter
     (≙ AvroProjectionConverter + AvroFilterConverter + StringFilterConverter)."""
@@ -838,6 +940,8 @@ QUERIES = {
     "cdc_lww_final_state": q_cdc_lww_final_state,
     "cdc_lww_salted": q_cdc_lww_salted,
     "plan_watermark_ranges": q_plan_watermark_ranges,
+    "plan_time_watermark_daily": q_time_partition_daily,
+    "plan_time_watermark_hourly": q_time_partition_hourly,
     "converter_projection_filter": q_converter_projection_filter,
     "converter_string_splitter": q_converter_string_splitter,
     "converter_from_json": q_converter_from_json,
@@ -868,6 +972,8 @@ def oracle_sqls() -> dict[str, str]:
         "cdc_lww_final_state": SQL_CDC_LWW,
         "cdc_lww_salted": SQL_CDC_LWW,  # same semantics, salted path
         "plan_watermark_ranges": SQL_PLAN_WATERMARK,
+        "plan_time_watermark_daily": SQL_TIME_PARTITION_DAILY,
+        "plan_time_watermark_hourly": SQL_TIME_PARTITION_HOURLY,
         "converter_projection_filter": SQL_CONVERTER_PROJ,
         "converter_string_splitter": SQL_STRING_SPLITTER,
         "converter_from_json": SQL_FROM_JSON,
