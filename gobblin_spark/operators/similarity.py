@@ -71,7 +71,14 @@ def _signatures_udf(n_planes: int, n_tables: int, dim: int, seed: int):
     A JVM-expression variant (aggregate/zip_with per plane) is semantically
     identical but builds a ~n_tables·n_planes·dim-node plan — seconds of
     driver-side analysis; the UDF keeps the plan O(1) and the math BLAS-
-    vectorized. Returns array<int> of length n_tables."""
+    vectorized. Returns array<int> of length n_tables.
+
+    The dot product is computed over components QUANTIZED to integers
+    (floor(v·10^6 + 0.5)) with ±1 integer plane coefficients: an integer
+    sum is order-insensitive and bit-exact, so an independent engine (the
+    DuckDB oracle) replays the identical signatures — a float matmul's
+    sign test could flip on near-zero dots under different summation
+    orders. Quantization at 1e-6 is far below any embedding's signal."""
     from pyspark.sql.functions import pandas_udf
 
     mats = np.array(
@@ -80,13 +87,14 @@ def _signatures_udf(n_planes: int, n_tables: int, dim: int, seed: int):
             for t in range(n_tables)
             for i in range(n_planes)
         ]
-    )  # (T*P, dim)
+    ).astype(np.int64)  # (T*P, dim) of ±1
     weights = 1 << np.arange(n_planes)
 
     @pandas_udf("array<int>")
     def sigs(v: pd.Series) -> pd.Series:
         m = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
-        bits = (m @ mats.T >= 0).astype(np.int64)  # (n, T*P)
+        q = np.floor(m * 1_000_000.0 + 0.5).astype(np.int64)
+        bits = (q @ mats.T >= 0).astype(np.int64)  # (n, T*P)
         packed = (bits.reshape(len(m), -1, len(weights)) * weights).sum(axis=2)
         return pd.Series([row.tolist() for row in packed.astype(np.int32)])
 

@@ -665,9 +665,11 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k (the scale path: candidates share a random-
-    hyperplane bucket, re-ranked exactly). No SQL oracle — the driver records
-    the weaker rows/schema check; recall vs the exact baseline is asserted in
-    tests/test_operators_extra.py."""
+    hyperplane bucket, re-ranked exactly). Fully oracle-gated: the md5-
+    derived hyperplanes and the integer-quantized signature dot products
+    are replayed bit-for-bit by the DuckDB SQL below, so the candidate set
+    — not just the ranking — is verified. Recall vs the exact baseline is
+    additionally asserted in tests/test_operators_extra.py."""
     emb = load(spark, sf_dir, "embeddings")
     from gobblin_spark.operators.similarity import lsh_topk
 
@@ -677,6 +679,52 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lsh_topk(emb, queries, dim=dim, k=10,
                     n_planes=8, n_tables=4).orderBy("query_id", "rank")
+
+
+def _duck_lsh_topk_sql(n_planes: int = 8, n_tables: int = 4, k: int = 10,
+                       seed: int = 42) -> str:
+    """Independent replay of lsh_topk: identical md5-derived ±1 hyperplanes
+    (sign of md5('<seed+1000t>:<i>:<j>')[:4] parity), identical integer-
+    quantized signature dots, bucket-join candidates, exact cosine re-rank."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT t.t, i.i, j.j,
+         CASE WHEN CAST('0x' || substr(md5(
+                  CAST({seed} + 1000 * t.t AS VARCHAR) || ':' ||
+                  CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)),
+                  1, 4) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS c
+  FROM range({n_tables}) t(t), range({n_planes}) i(i),
+       (SELECT unnest(range((SELECT max(len(v)) FROM e))) AS j) j),
+dots AS (
+  SELECT e.vec_id, p.t, p.i,
+         SUM(CAST(floor(e.v[p.j + 1] * 1000000 + 0.5) AS BIGINT) * p.c)
+           AS dot
+  FROM e, planes p GROUP BY 1, 2, 3),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS sig
+  FROM dots GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, d.vec_id
+  FROM sigs d JOIN sigs q ON d.t = q.t AND d.sig = q.sig
+  WHERE q.vec_id < 5),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(dv.v, qv.v) /
+               (sqrt(list_dot_product(dv.v, dv.v)) *
+                sqrt(list_dot_product(qv.v, qv.v))), 6) AS cosine
+  FROM cand c
+  JOIN e dv ON dv.vec_id = c.vec_id
+  JOIN e qv ON qv.vec_id = c.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
 
 
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,6 +1036,7 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_simhash": SQL_SIMHASH,
         "embedding_neardup": SQL_EMB_NEARDUP,
         "similarity_topk": SQL_SIM_TOPK,
+        "similarity_lsh_topk": _duck_lsh_topk_sql(),
         "text_token_stats": SQL_TOKEN_STATS,
         "text_langid": _duck_langid_sql(),
         "text_fingerprint": SQL_FINGERPRINT,
