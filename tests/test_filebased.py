@@ -1,0 +1,99 @@
+"""File-diff source e2e (≙ FileBasedSourceTest semantics: previous-run
+snapshot diff, modified-file re-pull, work-unit packing)."""
+
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from gobblin_spark.sources.filebased import FileDiffSource
+
+
+def _drop_file(spark, path, lo, hi):
+    spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_three_run_incremental_ingest(spark, tmp_table_dir):
+    """Drop files across 3 runs; each run must read ONLY its delta (checked
+    via lineage), and the accumulated target must equal reading the whole
+    directory at the end."""
+    data = os.path.join(tmp_table_dir, "incoming")
+    target = os.path.join(tmp_table_dir, "target")
+    src = FileDiffSource(os.path.join(tmp_table_dir, "state"),
+                         pattern="*.parquet", max_partitions=4)
+
+    # run 1: two files
+    _drop_file(spark, os.path.join(data, "a"), 0, 100)
+    _drop_file(spark, os.path.join(data, "b"), 100, 200)
+    p1 = src.plan(data)
+    assert len(p1.files_to_pull) == 2
+    src.read(spark, p1).write.mode("append").parquet(target)
+    src.commit(p1)
+
+    # run 2: one new file — ONLY it may be planned
+    _drop_file(spark, os.path.join(data, "c"), 200, 250)
+    p2 = src.plan(data)
+    assert len(p2.files_to_pull) == 1
+    assert all("/c/" in f for f in p2.files_to_pull)
+    src.read(spark, p2).write.mode("append").parquet(target)
+    src.commit(p2)
+
+    # run 3: nothing changed → empty plan
+    p3 = src.plan(data)
+    assert p3.empty
+
+    # lineage: every committed run recorded exactly the files it pulled
+    lin = src.lineage()
+    assert len(lin) == 2
+    assert len(lin[0]["files_pulled"]) == 2
+    assert len(lin[1]["files_pulled"]) == 1
+
+    got = spark.read.parquet(target)
+    want = spark.read.parquet(data + "/a", data + "/b", data + "/c")
+    assert got.count() == 250
+    assert (got.exceptAll(want).count() == 0
+            and want.exceptAll(got).count() == 0)
+
+
+def test_modified_file_is_repulled(spark, tmp_table_dir):
+    """mtime change re-pulls a file (snapshot entries are path|mtime, so a
+    rewrite is 'new' — ≙ the reference pulling files whose snapshot entry
+    changed)."""
+    data = os.path.join(tmp_table_dir, "incoming")
+    src = FileDiffSource(os.path.join(tmp_table_dir, "state"),
+                         pattern="*.parquet")
+    _drop_file(spark, os.path.join(data, "a"), 0, 10)
+    p1 = src.plan(data)
+    src.commit(p1)
+
+    time.sleep(0.02)
+    _drop_file(spark, os.path.join(data, "a"), 0, 20)  # overwrite in place
+    p2 = src.plan(data)
+    assert len(p2.files_to_pull) >= 1  # the rewritten file comes back
+    assert src.read(spark, p2).count() == 20
+
+
+def test_crash_before_commit_replans_same_delta(spark, tmp_table_dir):
+    data = os.path.join(tmp_table_dir, "incoming")
+    src = FileDiffSource(os.path.join(tmp_table_dir, "state"),
+                         pattern="*.parquet")
+    _drop_file(spark, os.path.join(data, "a"), 0, 10)
+    p1 = src.plan(data)
+    # crash: no commit. replanning yields the identical delta.
+    p1b = src.plan(data)
+    assert p1b.files_to_pull == p1.files_to_pull
+
+
+def test_work_unit_packing(spark, tmp_table_dir):
+    data = os.path.join(tmp_table_dir, "incoming")
+    src = FileDiffSource(os.path.join(tmp_table_dir, "state"),
+                         pattern="*.parquet", max_partitions=3)
+    for i in range(7):
+        _drop_file(spark, os.path.join(data, f"f{i}"), i * 10, i * 10 + 10)
+    p = src.plan(data)
+    assert len(p.files_to_pull) == 7
+    # ceil(7/3)=3 per unit → 3 units (≙ filesPerPartition rounding)
+    assert len(p.work_units) == 3
+    assert sum(len(u) for u in p.work_units) == 7
