@@ -75,6 +75,9 @@ class DataFile:
     # parquet-stats-derived: does this file contain tombstone rows?
     # (None = unknown/legacy manifest; treated as "maybe" by GC pruning)
     has_tombstones: bool | None = None
+    # time-partition value (e.g. "2024-01-05-13") when the table has a
+    # partition_spec; None for unpartitioned tables
+    partition: str | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -86,11 +89,29 @@ class DataFile:
             "min_seq": self.min_seq,
             "max_seq": self.max_seq,
             "has_tombstones": self.has_tombstones,
+            "partition": self.partition,
         }
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "DataFile":
         return DataFile(**d)
+
+
+# time-partition layouts (≙ TimeBasedWriterPartitioner.java:50-167 path
+# patterns yyyy/MM/dd/HH — flattened to one sortable partition value so
+# lexicographic range pruning works; the nesting is a path detail)
+PARTITION_PATTERNS = {
+    "month": "yyyy-MM",
+    "day": "yyyy-MM-dd",
+    "hour": "yyyy-MM-dd-HH",
+}
+
+
+def partition_value_expr(column: str, granularity: str):
+    """The writer-partitioner derivation: record timestamp → partition value
+    (≙ TimeBasedWriterPartitioner.getPartitionPath). JVM expression, stays
+    in codegen."""
+    return F.date_format(F.col(column), PARTITION_PATTERNS[granularity])
 
 
 @dataclass
@@ -108,6 +129,11 @@ class Snapshot:
     # Merge primary keys (LWW dedup identity). May be a superset of
     # bucket_cols; None in legacy manifests means keys == bucket_cols.
     key_cols: list[str] | None = None
+    # Optional time partitioning: {"column": <ts col>, "granularity":
+    # "month"|"day"|"hour"} (≙ TimeBasedWriterPartitioner +
+    # TimePartitionedDataPublisher). Files record their partition value;
+    # reads prune on it.
+    partition_spec: dict[str, str] | None = None
 
     @property
     def schema(self) -> StructType:
@@ -130,6 +156,7 @@ class Snapshot:
             "n_buckets": self.n_buckets,
             "bucket_cols": self.bucket_cols,
             "key_cols": self.key_cols,
+            "partition_spec": self.partition_spec,
             "properties": self.properties,
             "files": [f.to_json() for f in self.files],
         }
@@ -146,6 +173,7 @@ class Snapshot:
             n_buckets=d["n_buckets"],
             bucket_cols=d["bucket_cols"],
             key_cols=d.get("key_cols"),
+            partition_spec=d.get("partition_spec"),
             properties=d.get("properties", {}),
             files=[DataFile.from_json(f) for f in d["files"]],
         )
@@ -187,11 +215,23 @@ class LakeTable:
         n_buckets: int = 32,
         properties: dict[str, Any] | None = None,
         key_cols: list[str] | None = None,
+        partition_spec: dict[str, str] | None = None,
     ) -> "LakeTable":
         """key_cols: the LWW merge primary keys; defaults to bucket_cols.
         bucket_cols MUST be a subset of key_cols — the bucket hash must be a
         function of the key, or keys that hash apart could never be
-        co-located and compaction would collapse distinct keys."""
+        co-located and compaction would collapse distinct keys.
+
+        partition_spec: optional {"column", "granularity"} time partitioning
+        — every write clusters rows into per-partition files and reads can
+        prune by partition-value range."""
+        if partition_spec is not None:
+            if partition_spec.get("granularity") not in PARTITION_PATTERNS:
+                raise ValueError(
+                    f"granularity must be one of {list(PARTITION_PATTERNS)}"
+                )
+            if "column" not in partition_spec:
+                raise ValueError("partition_spec needs a 'column'")
         keys = list(key_cols) if key_cols else list(bucket_cols)
         if not set(bucket_cols) <= set(keys):
             raise ValueError(
@@ -208,6 +248,7 @@ class LakeTable:
             n_buckets=n_buckets,
             bucket_cols=list(bucket_cols),
             key_cols=keys,
+            partition_spec=partition_spec,
             files=[],
             properties=properties or {},
             timestamp_ms=int(time.time() * 1000),
@@ -297,6 +338,7 @@ class LakeTable:
             n_buckets=base.n_buckets,
             bucket_cols=base.bucket_cols,
             key_cols=base.key_cols,
+            partition_spec=base.partition_spec,
             properties=props,
             files=list(keep_files) + list(add_files),
         )
@@ -322,12 +364,26 @@ class LakeTable:
         sv = schema_version or snap.schema_version
         write_id = uuid.uuid4().hex
         out_dir = os.path.join(self.root, _DATA, write_id)
-        (
-            df.withColumn("__bucket", bucket_expr(snap.bucket_cols, snap.n_buckets))
-            .repartition(
-                max(1, snap.n_buckets * partitions_per_bucket), F.col("__bucket")
+        part_cols = ["__bucket"]
+        out = df.withColumn(
+            "__bucket", bucket_expr(snap.bucket_cols, snap.n_buckets)
+        )
+        if snap.partition_spec is not None:
+            # time-partitioned layout: __part=<value>/__bucket=<k>/... so
+            # each file belongs to exactly one (partition, bucket) cell and
+            # reads prune on either axis
+            out = out.withColumn(
+                "__part",
+                partition_value_expr(snap.partition_spec["column"],
+                                     snap.partition_spec["granularity"]),
             )
-            .write.partitionBy("__bucket")
+            part_cols = ["__part", "__bucket"]
+        (
+            out.repartition(
+                max(1, snap.n_buckets * partitions_per_bucket),
+                *[F.col(c) for c in part_cols],
+            )
+            .write.partitionBy(*part_cols)
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -345,19 +401,23 @@ class LakeTable:
 
         import pyarrow.parquet as pq
 
-        targets: list[tuple[str, int]] = []
+        targets: list[tuple[str, int, str | None]] = []
         for dirpath, _dirnames, names in os.walk(out_dir):
             rel_dir = os.path.relpath(dirpath, out_dir)
             bucket = -1
+            partition: str | None = None
             for part in rel_dir.split(os.sep):
                 if part.startswith("__bucket="):
                     bucket = int(part.split("=", 1)[1])
+                elif part.startswith("__part="):
+                    partition = part.split("=", 1)[1]
             for name in names:
                 if name.endswith(".parquet"):
-                    targets.append((os.path.join(dirpath, name), bucket))
+                    targets.append((os.path.join(dirpath, name), bucket,
+                                    partition))
 
-        def index_one(item: tuple[str, int]) -> DataFile | None:
-            full, bucket = item
+        def index_one(item: tuple[str, int, str | None]) -> DataFile | None:
+            full, bucket, partition = item
             meta = pq.ParquetFile(full).metadata
             if meta.num_rows == 0:
                 return None
@@ -399,6 +459,7 @@ class LakeTable:
                 min_seq=min_seq,
                 max_seq=max_seq,
                 has_tombstones=has_tombstones,
+                partition=partition,
             )
 
         if not targets:
@@ -473,11 +534,19 @@ class LakeTable:
         version: int | None = None,
         buckets: set[int] | None = None,
         seq_range: tuple[int, int] | None = None,
+        partition_range: tuple[str, str] | None = None,
+        partitions: set[str] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, with file-level pruning.
 
         buckets: only files in these hash buckets (merge-key pruning).
         seq_range: (low, high] pruning on the per-file seq min/max stats.
+        partition_range: inclusive [lo, hi] on the time-partition value
+          (values are zero-padded date strings, so lexicographic compare is
+          chronological) — the partition-pruned read of a time-partitioned
+          target (≙ reading one day/hour of a TimePartitionedDataPublisher
+          layout without listing the rest).
+        partitions: explicit partition-value set.
         """
         snap = self.snapshot(version)
         files = snap.files
@@ -490,6 +559,14 @@ class LakeTable:
                 for f in files
                 if f.min_seq is None or (f.max_seq > lo and f.min_seq <= hi)
             ]
+        if partition_range is not None:
+            plo, phi = partition_range
+            files = [
+                f for f in files
+                if f.partition is not None and plo <= f.partition <= phi
+            ]
+        if partitions is not None:
+            files = [f for f in files if f.partition in partitions]
         return self.read_file_set(files, snap)
 
     def read_file_set(

@@ -154,3 +154,58 @@ def test_schema_evolution_add_widen_rename(spark, tmp_table_dir):
     t.append(df2)
     assert t.read().count() == 15
     assert t.read().filter(F.col("size_bytes") > 5_000_000_000).count() == 5
+
+
+def test_time_partitioned_write_and_pruned_read(spark, tmp_table_dir):
+    """Time-partitioned write path (≙ TimeBasedWriterPartitioner +
+    TimePartitionedDataPublisher): files carry their partition value in the
+    manifest and a partition-range read touches ONLY those files."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("payload", StringType()),
+    ])
+    t = LakeTable.create(
+        spark, tmp_table_dir + "/tp", schema, ["id"], n_buckets=2,
+        partition_spec={"column": "ts", "granularity": "day"},
+    )
+    df = spark.range(0, 96).select(
+        F.col("id"),
+        (F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+         + F.make_interval(hours=F.col("id"))).alias("ts"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    )
+    t.append(df)
+    snap = t.snapshot()
+    parts = {f.partition for f in snap.files}
+    assert parts == {"2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"}
+
+    # range read: 2 of 4 days; verify both the row subset AND that the
+    # manifest-level pruning kept only those days' files
+    pruned_files = [f for f in snap.files
+                    if "2024-03-02" <= f.partition <= "2024-03-03"]
+    assert sum(f.rows for f in pruned_files) == 48
+    got = t.read(partition_range=("2024-03-02", "2024-03-03"))
+    assert got.count() == 48
+    assert got.agg(F.min("id"), F.max("id")).collect()[0][0:2] == (24, 71)
+
+    # explicit partition-set read
+    assert t.read(partitions={"2024-03-04"}).count() == 24
+
+
+def test_partition_spec_validation(spark, tmp_table_dir):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType())])
+    with pytest.raises(ValueError):
+        LakeTable.create(spark, tmp_table_dir + "/bad1", schema, ["id"],
+                         partition_spec={"column": "ts",
+                                         "granularity": "minute"})
+    with pytest.raises(ValueError):
+        LakeTable.create(spark, tmp_table_dir + "/bad2", schema, ["id"],
+                         partition_spec={"granularity": "day"})
