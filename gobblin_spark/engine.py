@@ -178,6 +178,7 @@ class CdcEngine:
         compact_every: int = 8,
         gc_after_compact: bool = True,
         task_policies: list | None = None,
+        plan_partitioning: bool = True,
     ):
         """merge_mode: 'cow' rewrites affected buckets per batch (zero read
         amplification); 'mor' appends delta files per batch and compacts
@@ -207,6 +208,7 @@ class CdcEngine:
         # task-level publish gates: each has .check(rows_read) -> bool
         # (≙ RowCountPolicy/RowCountRangePolicy gating TaskPublisher.canPublish)
         self.task_policies = task_policies or []
+        self.plan_partitioning = plan_partitioning
         if LakeTable.exists(table_root):
             self.table = LakeTable(spark, table_root)
         else:
@@ -260,6 +262,21 @@ class CdcEngine:
         pred = Planner.batch_predicate(plan.units)
         batch = self.events().filter(pred)
         data = batch.filter(F.col("op").isin("I", "U", "D"))
+        # Plan-driven partitioning: the WFD bins decide the extract's
+        # physical layout so downstream per-row stages (converter chains,
+        # row-quality predicates, MOR's in-batch pre-reduce) see
+        # cost-balanced partitions even under heavy group skew. Only worth a
+        # shuffle when there is real per-row work to balance — with no
+        # converters/policies the scan's file-split parallelism is already
+        # size-balanced and the merge shuffles on key anyway.
+        if self.plan_partitioning and len(plan.bins) > 1 and (
+                self.converters is not None or self.row_policies):
+            data = (
+                data.withColumn(
+                    "__bin", Planner.bin_assignment_expr(plan.bins))
+                .repartitionByRange(len(plan.bins), F.col("__bin"))
+                .drop("__bin")
+            )
 
         # ONE metadata pass for row count + schema versions + hot repos:
         # rollup('repo') yields per-repo rows AND the grand-total row in a

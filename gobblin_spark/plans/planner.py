@@ -276,6 +276,30 @@ class Planner:
         return [r["repo"] for r in rows]
 
     @staticmethod
+    def bin_assignment_expr(bins: list[list[WorkUnit]]):
+        """Map each extracted row to its planned bin: a CASE chain over the
+        units' (event_group, (low, high]) ranges. This is how the WFD bins
+        reach execution — ``repartitionByRange(n_bins, bin)`` gives each bin
+        its own task, so a skewed group (split into many units spread across
+        bins by cost) no longer serializes the convert/quality stages
+        (≙ KafkaWorkUnitPacker assigning work units to MR mappers,
+        KafkaWorkUnitPacker.java:256-288)."""
+        expr = None
+        for bi, b in enumerate(bins):
+            for u in b:
+                if u.advance:
+                    continue
+                cond = (
+                    (F.col("event_group") == u.event_group)
+                    & (F.col("seq") > u.low_seq)
+                    & (F.col("seq") <= u.high_seq)
+                )
+                expr = (F.when(cond, bi) if expr is None
+                        else expr.when(cond, bi))
+        return (expr.otherwise(F.lit(0)) if expr is not None
+                else F.lit(0))
+
+    @staticmethod
     def batch_predicate(units: list[WorkUnit]):
         """The deterministic extract filter for a batch: OR of per-group
         (low, high] ranges — re-execution-safe because the predicate is a

@@ -208,3 +208,33 @@ def test_quiet_group_engine_end_to_end(spark, tmp_table_dir):
         "repo", "path", "commit").orderBy("repo", "path")
     assert [r.asDict() for r in got.collect()] == [
         r.asDict() for r in want.collect()]
+
+
+def test_bins_drive_balanced_extract_partitions(spark, tmp_table_dir):
+    """The WFD bins must reach execution: one giant group split into many
+    units spread over bins ⇒ after bin-driven repartitioning the largest
+    physical partition holds a bounded share of rows (vs everything landing
+    in the giant group's partition)."""
+    st = StateStore(tmp_table_dir)
+    pl = Planner(st, max_records_per_batch=100_000,
+                 max_records_per_unit=1_000, target_bins=8)
+    # group 0 owns 90% of the batch; groups 1..4 share the rest
+    events = spark.range(10_000).select(
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % 10 < 9, 0)
+        .otherwise((F.col("id") % 4 + 1)).cast("int").alias("event_group"),
+    )
+    plan = pl.plan_batch(events)
+    assert len(plan.bins) > 1
+    binned = (
+        events.filter(Planner.batch_predicate(plan.units))
+        .withColumn("__bin", Planner.bin_assignment_expr(plan.bins))
+        .repartitionByRange(len(plan.bins), F.col("__bin"))
+    )
+    sizes = [
+        r["cnt"] for r in binned.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    ]
+    # giant group = 9000 rows; balanced bins keep every partition far below
+    assert max(sizes) < 3000, sizes
+    assert sum(sizes) == 10_000
