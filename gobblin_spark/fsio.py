@@ -1,0 +1,141 @@
+"""Filesystem abstraction for the commit protocol.
+
+Everything ACID in this engine reduces to ONE primitive: *publish-if-absent*
+— write bytes to a target path such that exactly one writer wins and losers
+get a distinguishable conflict. The manifest commit (lakehouse/table.py) and
+the commit-log publish (state/store.py) both go through this interface, so
+porting the engine to a different storage system means implementing one
+small class, not auditing every os.* call.
+
+Implementations / strategies:
+
+- ``LocalFs`` (implemented, default): stage to a temp file in the target
+  directory, then ``os.link(tmp, target)`` — POSIX link(2) fails with EEXIST
+  atomically, which is the optimistic-concurrency conflict signal. Replaces
+  the reference's rename-with-retry publish
+  (gobblin-core/src/main/java/gobblin/publisher/BaseDataPublisher.java:190-244,
+  FsRenameCommitStep.java:38,135).
+
+- HDFS (strategy, for a cluster deployment): ``FileSystem.create(path,
+  overwrite=false)`` is atomic-exclusive on the NameNode — write the staged
+  manifest content directly with overwrite=false and map
+  ``FileAlreadyExistsException`` to the conflict signal. (``rename`` into
+  place also works: HDFS rename is atomic and fails if the destination
+  exists.) Everything else here (list/read/delete) maps 1:1 onto
+  ``FileSystem`` calls.
+
+- S3 / object stores (strategy): conditional PUT with ``If-None-Match: *``
+  (supported by S3 since 2024, and by GCS via ``x-goog-if-generation-match:
+  0``) gives the same exactly-one-winner PUT; map the 412 Precondition
+  Failed response to the conflict signal. On object stores WITHOUT
+  conditional writes, the standard fallback is a DynamoDB/JDBC-style commit
+  coordinator holding the version counter — the table format is unchanged,
+  only publish_if_absent is.
+
+All paths are plain strings; the interface is intentionally tiny and
+synchronous — commits are O(manifest) metadata operations on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Iterator
+
+
+class CommitConflict(FileExistsError):
+    """Another writer published this target first."""
+
+
+class CommitFs:
+    """The minimal filesystem surface the commit protocol needs."""
+
+    # -- atomic primitives
+    def publish_if_absent(self, content: bytes, target: str) -> None:
+        """Atomically create ``target`` with ``content``; raise
+        CommitConflict if it already exists. Durable on return."""
+        raise NotImplementedError
+
+    def write_replace(self, content: bytes, target: str) -> None:
+        """Atomically overwrite ``target`` with ``content`` (last writer
+        wins — used for re-writable checkpoints, not commits)."""
+        raise NotImplementedError
+
+    # -- plain operations
+    def read(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> list[str]:
+        raise NotImplementedError
+
+    def walk_files(self, root: str) -> Iterator[str]:
+        """All file paths under root (recursive)."""
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def prune_empty_dirs(self, root: str) -> None:
+        """Best-effort removal of empty directories under root (no-op on
+        object stores, which have no real directories)."""
+
+
+class LocalFs(CommitFs):
+    """POSIX implementation: link(2) publish, fsync'd staging."""
+
+    def _stage(self, content: bytes, directory: str) -> str:
+        tmp = os.path.join(directory, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
+        return tmp
+
+    def publish_if_absent(self, content: bytes, target: str) -> None:
+        tmp = self._stage(content, os.path.dirname(target))
+        try:
+            os.link(tmp, target)
+        except FileExistsError as exc:
+            raise CommitConflict(target) from exc
+        finally:
+            os.unlink(tmp)
+
+    def write_replace(self, content: bytes, target: str) -> None:
+        tmp = self._stage(content, os.path.dirname(target))
+        os.replace(tmp, target)
+
+    def read(self, path: str) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def walk_files(self, root: str) -> Iterator[str]:
+        for dirpath, _d, names in os.walk(root):
+            for name in names:
+                yield os.path.join(dirpath, name)
+
+    def remove(self, path: str) -> None:
+        os.unlink(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def prune_empty_dirs(self, root: str) -> None:
+        for dirpath, dirnames, names in os.walk(root, topdown=False):
+            if not dirnames and not names and dirpath != root:
+                shutil.rmtree(dirpath, ignore_errors=True)
+
+
+DEFAULT_FS = LocalFs()

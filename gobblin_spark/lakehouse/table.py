@@ -44,7 +44,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -53,6 +52,8 @@ from typing import Any, Iterable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StructType
+
+from gobblin_spark.fsio import DEFAULT_FS, CommitConflict, CommitFs
 
 _META = "_meta"
 _DATA = "data"
@@ -191,11 +192,18 @@ def bucket_expr(bucket_cols: list[str], n_buckets: int):
 
 
 class LakeTable:
-    """A versioned Parquet table with atomic snapshot commits."""
+    """A versioned Parquet table with atomic snapshot commits.
 
-    def __init__(self, spark: SparkSession, root: str):
+    All commit-protocol I/O goes through a CommitFs (gobblin_spark/fsio.py):
+    the local impl publishes manifests via link(2); the documented HDFS /
+    S3 strategies swap in create-exclusive / conditional-PUT without
+    touching this class."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 fs: CommitFs | None = None):
         self.spark = spark
         self.root = root
+        self.fs = fs or DEFAULT_FS
 
     # ---------------------------------------------------------------- paths
     @property
@@ -216,6 +224,7 @@ class LakeTable:
         properties: dict[str, Any] | None = None,
         key_cols: list[str] | None = None,
         partition_spec: dict[str, str] | None = None,
+        fs: CommitFs | None = None,
     ) -> "LakeTable":
         """key_cols: the LWW merge primary keys; defaults to bucket_cols.
         bucket_cols MUST be a subset of key_cols — the bucket hash must be a
@@ -237,9 +246,9 @@ class LakeTable:
             raise ValueError(
                 f"bucket_cols {bucket_cols} must be a subset of key_cols {keys}"
             )
-        t = LakeTable(spark, root)
-        os.makedirs(t._meta_dir, exist_ok=True)
-        os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+        t = LakeTable(spark, root, fs=fs)
+        t.fs.makedirs(t._meta_dir)
+        t.fs.makedirs(os.path.join(root, _DATA))
         if t.current_version() is not None:
             raise FileExistsError(f"table already exists at {root}")
         snap = Snapshot(
@@ -257,20 +266,21 @@ class LakeTable:
         return t
 
     @staticmethod
-    def exists(root: str) -> bool:
+    def exists(root: str, fs: CommitFs | None = None) -> bool:
+        fs = fs or DEFAULT_FS
         meta = os.path.join(root, _META)
-        if not os.path.isdir(meta):
+        if not fs.exists(meta):
             return False
         return any(
-            n.startswith("v") and n.endswith(".json") for n in os.listdir(meta)
+            n.startswith("v") and n.endswith(".json") for n in fs.listdir(meta)
         )
 
     def current_version(self) -> int | None:
-        if not os.path.isdir(self._meta_dir):
+        if not self.fs.exists(self._meta_dir):
             return None
         versions = [
             int(n[1 : 1 + _V_DIGITS])
-            for n in os.listdir(self._meta_dir)
+            for n in self.fs.listdir(self._meta_dir)
             if n.startswith("v") and n.endswith(".json")
         ]
         return max(versions) if versions else None
@@ -279,8 +289,8 @@ class LakeTable:
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"no snapshots at {self.root}")
-        with open(self._manifest_path(v)) as fh:
-            return Snapshot.from_json(json.load(fh))
+        return Snapshot.from_json(
+            json.loads(self.fs.read(self._manifest_path(v))))
 
     def history(self) -> list[Snapshot]:
         v = self.current_version() or 0
@@ -288,21 +298,18 @@ class LakeTable:
 
     # --------------------------------------------------------------- commit
     def _publish_manifest(self, snap: Snapshot) -> None:
-        """Atomic publish: link(tmp, vN) fails with EEXIST on a race."""
-        tmp = os.path.join(self._meta_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(snap.to_json(), fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        target = self._manifest_path(snap.version)
+        """Atomic publish-if-absent of manifest vN: exactly one writer wins
+        (link(2) locally; create-exclusive / conditional PUT on HDFS/S3 —
+        see gobblin_spark/fsio.py for the strategies)."""
         try:
-            os.link(tmp, target)
-        except FileExistsError as exc:
+            self.fs.publish_if_absent(
+                json.dumps(snap.to_json()).encode(),
+                self._manifest_path(snap.version),
+            )
+        except CommitConflict as exc:
             raise ConcurrentCommitError(
                 f"version {snap.version} already committed at {self.root}"
             ) from exc
-        finally:
-            os.unlink(tmp)
 
     def commit(
         self,
@@ -621,16 +628,12 @@ class LakeTable:
                 live.add(os.path.normpath(os.path.join(self.root, f_.path)))
         removed = 0
         data_root = os.path.join(self.root, _DATA)
-        for dirpath, _d, names in os.walk(data_root):
-            for name in names:
-                full = os.path.normpath(os.path.join(dirpath, name))
-                if full.endswith(".parquet") and full not in live:
-                    os.unlink(full)
-                    removed += 1
-        # prune empty dirs
-        for dirpath, dirnames, names in os.walk(data_root, topdown=False):
-            if not dirnames and not names and dirpath != data_root:
-                shutil.rmtree(dirpath, ignore_errors=True)
+        for full in self.fs.walk_files(data_root):
+            full = os.path.normpath(full)
+            if full.endswith(".parquet") and full not in live:
+                self.fs.remove(full)
+                removed += 1
+        self.fs.prune_empty_dirs(data_root)
         return removed
 
     def stats(self) -> dict[str, Any]:

@@ -29,9 +29,10 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 from dataclasses import asdict, dataclass, field
 from typing import Any
+
+from gobblin_spark.fsio import DEFAULT_FS, CommitConflict, CommitFs
 
 # Work-unit lifecycle (≙ WorkUnitState.WorkingState)
 PENDING = "PENDING"
@@ -60,12 +61,13 @@ class WorkUnitState:
 class StateStore:
     """Filesystem checkpoint + commit-log store for one dataset/pipeline."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, fs: CommitFs | None = None):
         self.root = root
+        self.fs = fs or DEFAULT_FS
         self.ckpt_dir = os.path.join(root, "checkpoints")
         self.log_dir = os.path.join(root, "commit_log")
-        os.makedirs(self.ckpt_dir, exist_ok=True)
-        os.makedirs(self.log_dir, exist_ok=True)
+        self.fs.makedirs(self.ckpt_dir)
+        self.fs.makedirs(self.log_dir)
 
     # ----------------------------------------------------------- checkpoint
     def _ckpt_path(self, batch_id: str) -> str:
@@ -80,31 +82,27 @@ class StateStore:
 
     def _write_ckpt(self, batch_id: str, units: list[WorkUnitState],
                     status: str) -> None:
-        tmp = os.path.join(self.ckpt_dir, f".tmp-{uuid.uuid4().hex}")
         doc = {
             "batch_id": batch_id,
             "status": status,
             "updated_ms": int(time.time() * 1000),
             "units": [asdict(u) for u in units],
         }
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, self._ckpt_path(batch_id))  # atomic overwrite
+        # atomic overwrite (re-writable lifecycle record, not a commit)
+        self.fs.write_replace(json.dumps(doc).encode(),
+                              self._ckpt_path(batch_id))
 
     def read_batch(self, batch_id: str) -> dict[str, Any] | None:
         p = self._ckpt_path(batch_id)
-        if not os.path.exists(p):
+        if not self.fs.exists(p):
             return None
-        with open(p) as fh:
-            doc = json.load(fh)
+        doc = json.loads(self.fs.read(p))
         doc["units"] = [WorkUnitState(**u) for u in doc["units"]]
         return doc
 
     def all_batches(self) -> list[dict[str, Any]]:
         out = []
-        for name in sorted(os.listdir(self.ckpt_dir)):
+        for name in sorted(self.fs.listdir(self.ckpt_dir)):
             if name.startswith("batch-") and name.endswith(".json"):
                 out.append(self.read_batch(name[len("batch-"):-len(".json")]))
         return [b for b in out if b is not None]
@@ -115,7 +113,7 @@ class StateStore:
 
     def is_committed(self, batch_id: str) -> bool:
         """The verify() step: has this batch already been applied+committed?"""
-        return os.path.exists(self._log_path(batch_id))
+        return self.fs.exists(self._log_path(batch_id))
 
     def commit_batch(
         self,
@@ -132,7 +130,6 @@ class StateStore:
             if u.actual_high_seq is None:
                 u.actual_high_seq = u.high_seq
         self._write_ckpt(batch_id, units, status="COMMITTED")
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         doc = {
             "batch_id": batch_id,
             "committed_ms": int(time.time() * 1000),
@@ -155,31 +152,25 @@ class StateStore:
                 for u in units
             ],
         }
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
         try:
-            os.link(tmp, self._log_path(batch_id))
-        except FileExistsError:
+            self.fs.publish_if_absent(json.dumps(doc).encode(),
+                                      self._log_path(batch_id))
+        except CommitConflict:
             return False
-        finally:
-            os.unlink(tmp)
         return True
 
     def read_commit(self, batch_id: str) -> dict[str, Any] | None:
         p = self._log_path(batch_id)
-        if not os.path.exists(p):
+        if not self.fs.exists(p):
             return None
-        with open(p) as fh:
-            return json.load(fh)
+        return json.loads(self.fs.read(p))
 
     def committed_batches(self) -> list[dict[str, Any]]:
         out = []
-        for name in sorted(os.listdir(self.log_dir)):
+        for name in sorted(self.fs.listdir(self.log_dir)):
             if name.startswith("commit-") and name.endswith(".json"):
-                with open(os.path.join(self.log_dir, name)) as fh:
-                    out.append(json.load(fh))
+                out.append(json.loads(
+                    self.fs.read(os.path.join(self.log_dir, name))))
         return out
 
     # ------------------------------------------------------------ watermarks

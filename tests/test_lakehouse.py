@@ -209,3 +209,48 @@ def test_partition_spec_validation(spark, tmp_table_dir):
     with pytest.raises(ValueError):
         LakeTable.create(spark, tmp_table_dir + "/bad2", schema, ["id"],
                          partition_spec={"granularity": "day"})
+
+
+def test_commit_fs_abstraction_is_complete(spark, tmp_table_dir):
+    """Every commit-protocol I/O must flow through CommitFs: a counting fs
+    wrapper sees manifest publishes, reads, listings and vacuum removals —
+    so swapping in an HDFS/S3 impl swaps the whole protocol."""
+    from gobblin_spark.fsio import LocalFs
+
+    class CountingFs(LocalFs):
+        def __init__(self):
+            self.publishes = 0
+            self.replaces = 0
+
+        def publish_if_absent(self, content, target):
+            self.publishes += 1
+            return super().publish_if_absent(content, target)
+
+        def write_replace(self, content, target):
+            self.replaces += 1
+            return super().write_replace(content, target)
+
+    fs = CountingFs()
+    t = LakeTable.create(spark, tmp_table_dir + "/t", SCHEMA,
+                         ["repo", "path"], n_buckets=2, fs=fs)
+    t.append(make_df(spark, 10))
+    assert fs.publishes == 2  # create + append manifests
+    assert t.read().count() == 10
+
+    # concurrent-commit conflict still surfaces through the abstraction
+    snap = t.snapshot()
+    t.commit(keep_files=snap.files, add_files=[],
+             expected_version=snap.version)
+    with pytest.raises(ConcurrentCommitError):
+        t.commit(keep_files=snap.files, add_files=[],
+                 expected_version=snap.version)
+
+    from gobblin_spark.state.store import StateStore, WorkUnitState
+    st = StateStore(tmp_table_dir + "/state", fs=fs)
+    st.begin_batch("b1", [WorkUnitState("w1", "b1", 0, -1, 10)])
+    assert fs.replaces >= 1
+    before = fs.publishes
+    assert st.commit_batch("b1", [WorkUnitState("w1", "b1", 0, -1, 10)], 1)
+    assert fs.publishes == before + 1
+    # idempotent re-commit: conflict mapped to False, not an exception
+    assert not st.commit_batch("b1", [WorkUnitState("w1", "b1", 0, -1, 10)], 1)
