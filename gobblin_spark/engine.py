@@ -179,6 +179,7 @@ class CdcEngine:
         gc_after_compact: bool = True,
         task_policies: list | None = None,
         plan_partitioning: bool = True,
+        limiter=None,
     ):
         """merge_mode: 'cow' rewrites affected buckets per batch (zero read
         amplification); 'mor' appends delta files per batch and compacts
@@ -195,6 +196,7 @@ class CdcEngine:
             max_records_per_batch=max_records_per_batch,
             max_records_per_unit=max_records_per_unit,
             target_bins=target_bins,
+            limiter=limiter,
         )
         self.salt_buckets = salt_buckets
         self.converters = converters
@@ -432,6 +434,8 @@ class CdcEngine:
                 "phase_ms": phase_ms,
             },
         )
+        if self.planner.limiter is not None:
+            self.planner.limiter.consume(rows_read)
         mark("commit", tp)
         return BatchResult(
             batch_id=batch_id,

@@ -226,6 +226,40 @@ class FlattenConverter(Converter):
 
 
 @dataclass
+class SchemaFieldRemoverConverter(Converter):
+    """Recursive removal of (possibly nested) fields by dotted path
+    (≙ AvroSchemaFieldRemover,
+    gobblin-core/src/main/java/gobblin/converter/filter/AvroSchemaFieldRemover.java
+    — removes fields at any depth from the record schema). Handles
+    top-level columns, struct members via Column.dropFields, and structs
+    inside top-level arrays via transform."""
+
+    fields: list[str] | None = None
+
+    def convert(self, df: DataFrame) -> DataFrame:
+        out = df
+        for path in self.fields or []:
+            out = self._remove(out, path)
+        return out
+
+    @staticmethod
+    def _remove(df: DataFrame, path: str) -> DataFrame:
+        head, _, rest = path.partition(".")
+        if head not in df.columns:
+            return df  # absent fields are a no-op, like the reference
+        if not rest:
+            return df.drop(head)
+        dt = df.schema[head].dataType
+        if isinstance(dt, StructType):
+            return df.withColumn(head, F.col(head).dropFields(rest))
+        if isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType):
+            return df.withColumn(
+                head, F.transform(F.col(head), lambda x: x.dropFields(rest))
+            )
+        return df
+
+
+@dataclass
 class CastConverter(Converter):
     """Cast columns to target types (≙ JsonElementConversionFactory type
     lattice, gobblin-core/.../avro/JsonElementConversionFactory.java:51-135)."""
@@ -418,6 +452,7 @@ CONVERTER_REGISTRY: dict[str, type] = {
     "string_splitter": StringSplitterConverter,
     "flatten": FlattenConverter,
     "cast": CastConverter,
+    "schema_field_remover": SchemaFieldRemoverConverter,
     "identity": IdentityConverter,
     "schema_evolution": SchemaEvolutionConverter,
     "arrow_batch": ArrowBatchConverter,

@@ -108,12 +108,23 @@ class Planner:
         max_records_per_unit: int = 250_000,
         target_bins: int = 32,
         hot_key_threshold: float = 0.10,
+        limiter=None,
     ):
         self.store = store
         self.max_records_per_batch = max_records_per_batch
         self.max_records_per_unit = max_records_per_unit
         self.target_bins = target_bins
         self.hot_key_threshold = hot_key_threshold
+        # admission control (≙ LimitingExtractorDecorator): trims the batch
+        # cap to limiter.available(); the engine reports consumption after
+        # commit
+        self.limiter = limiter
+
+    def _batch_cap(self) -> int:
+        cap = self.max_records_per_batch
+        if self.limiter is not None:
+            cap = min(cap, self.limiter.available())
+        return cap
 
     # ------------------------------------------------------------- planning
     def plan_batch(self, events: DataFrame) -> BatchPlan:
@@ -151,14 +162,17 @@ class Planner:
 
         watermarks = self.store.last_committed_watermarks()
         global_low = min(watermarks.values()) if watermarks else -1
+        cap = self._batch_cap()
+        if cap <= 0:
+            # limiter exhausted: admit nothing this cycle
+            return BatchPlan(batch_id=batch_id, units=[])
 
         # 1. What's newly available per group? Pushdown BOTH bounds: seq is
         # globally dense, so nothing past low + cap can enter this batch —
         # the planning scan is O(cap) with parquet min/max pruning, not
         # O(all remaining events). Matters at 10^10 backlog.
         fresh = events.filter(
-            (F.col("seq") > global_low)
-            & (F.col("seq") <= global_low + self.max_records_per_batch)
+            (F.col("seq") > global_low) & (F.col("seq") <= global_low + cap)
         )
         stats_rows = (
             fresh.groupBy("event_group")
@@ -186,7 +200,7 @@ class Planner:
         }
         avail_high = max(int(r["max_seq"]) for r in stats_rows)
         batch_low = min(lows.values())
-        batch_high = min(avail_high, batch_low + self.max_records_per_batch)
+        batch_high = min(avail_high, batch_low + cap)
 
         cost_stats = self.store.group_cost_stats()
         units: list[WorkUnit] = []

@@ -1,0 +1,196 @@
+"""Format writers, JDBC incremental source, nested field remover, limiters
+(≙ the reference's writer/ extractor.extract.jdbc / converter.filter /
+util.limiter test tiers)."""
+
+import os
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from gobblin_spark.plans.limiter import (
+    CountBasedLimiter,
+    RateBasedLimiter,
+    TimeBasedLimiter,
+)
+from gobblin_spark.plans.time_partition import ExtractType, WatermarkType
+from gobblin_spark.sinks import FormatUnavailable, text_lines, write_files
+from gobblin_spark.sources.jdbc import JdbcIncrementalSource, watermark_condition
+
+
+# ------------------------------------------------------------ format sinks
+def test_write_files_formats_roundtrip(spark, tmp_table_dir):
+    df = spark.range(20).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("s"))
+    for fmt in ["parquet", "orc", "json"]:
+        out = os.path.join(tmp_table_dir, fmt)
+        write_files(df, out, fmt=fmt)
+        back = spark.read.format(fmt).load(out)
+        assert back.count() == 20, fmt
+    # csv needs header to round-trip names; text needs the value projection
+    out = os.path.join(tmp_table_dir, "csv")
+    write_files(df, out, fmt="csv", options={"header": "true"})
+    assert spark.read.option("header", "true").csv(out).count() == 20
+    out = os.path.join(tmp_table_dir, "text")
+    write_files(text_lines(df, "s"), out, fmt="text")
+    assert spark.read.text(out).count() == 20
+
+
+def test_write_files_two_phase_publish(spark, tmp_table_dir):
+    """No partial output ever visible: default mode refuses to clobber,
+    overwrite swaps atomically, staging dirs never linger."""
+    df = spark.range(5).select(F.col("id"))
+    out = os.path.join(tmp_table_dir, "out")
+    write_files(df, out)
+    with pytest.raises(FileExistsError):
+        write_files(df, out)
+    write_files(spark.range(7).select(F.col("id")), out, mode="overwrite")
+    assert spark.read.parquet(out).count() == 7
+    leftovers = [n for n in os.listdir(tmp_table_dir)
+                 if n.startswith((".staging-", ".old-"))]
+    assert leftovers == []
+
+
+def test_avro_gated_with_clear_error(spark, tmp_table_dir):
+    df = spark.range(3).select(F.col("id"))
+    with pytest.raises(FormatUnavailable):
+        write_files(df, os.path.join(tmp_table_dir, "avro"), fmt="avro")
+
+
+# ------------------------------------------------------------- JDBC source
+def test_watermark_condition_matches_reference_dialect():
+    # TimestampWatermarkTest expectation:
+    # "my_column >= '2014-10-29 13:30:15'"
+    assert (
+        watermark_condition("my_column", 20141029133015,
+                            WatermarkType.TIMESTAMP, ">=")
+        == "my_column >= '2014-10-29 13:30:15'"
+    )
+    assert (
+        watermark_condition("d", 20150201000000, WatermarkType.DATE, "<=")
+        == "d <= '2015-02-01'"
+    )
+    assert watermark_condition("n", 42, WatermarkType.SIMPLE, ">=") == "n >= 42"
+
+
+def test_jdbc_incremental_predicates_and_resume():
+    src = JdbcIncrementalSource(
+        url="jdbc:void", table="t", watermark_column="updated_at",
+        watermark_type=WatermarkType.TIMESTAMP,
+        extract_type=ExtractType.SNAPSHOT,
+        partition_interval=6, max_partitions=100,
+        start_value=20130501130000,
+    )
+    now = datetime(2013, 5, 2, 8, 0, 0)
+    preds = src.predicates(None, now)
+    assert preds[0] == ("updated_at >= '2013-05-01 13:00:00' AND "
+                        "updated_at <= '2013-05-01 19:00:00'")
+    assert len(preds) == 4
+    hi = src.high_watermark(now)
+    assert hi == 20130502080000
+    # resume: next run starts at committed high + 1s
+    preds2 = src.predicates(hi, datetime(2013, 5, 2, 9, 0, 0))
+    assert preds2[0].startswith("updated_at >= '2013-05-02 08:00:01'")
+
+
+def test_jdbc_read_partition_parallel_pushdown(spark, sf_dir):
+    """load_fn double: the union of per-predicate pulls must equal one
+    unconstrained pull of the watermark span — proving the partition
+    predicates are a lossless cover."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def load_fn(s, preds):
+        import functools
+
+        parts = [ev.filter(p.replace("updated_at", "ts")) for p in preds]
+        return functools.reduce(lambda a, b: a.unionAll(b), parts)
+
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    from gobblin_spark.plans.time_partition import dt_to_wm
+
+    src = JdbcIncrementalSource(
+        url="jdbc:void", table="t", watermark_column="updated_at",
+        watermark_type=WatermarkType.TIMESTAMP,
+        extract_type=ExtractType.SNAPSHOT,
+        partition_interval=100, max_partitions=50,
+        start_value=dt_to_wm(b["lo"]), load_fn=load_fn,
+    )
+    got = src.read(spark, None, b["hi"])
+    # second-granularity watermark: sub-second tail of max(ts) excluded by
+    # design (pulled by the next run); everything else exactly once
+    assert got.count() >= ev.count() - 1
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+# --------------------------------------------------- nested field remover
+def test_schema_field_remover_nested(spark):
+    from gobblin_spark.operators.converters import build_chain
+
+    df = spark.range(3).select(
+        F.col("id"),
+        F.struct(F.lit("a").alias("keep"),
+                 F.lit("b").alias("drop_me"),
+                 F.struct(F.lit(1).alias("x"),
+                          F.lit(2).alias("y")).alias("inner")).alias("s"),
+        F.array(F.struct(F.lit(1).alias("u"),
+                         F.lit(2).alias("v"))).alias("arr"),
+        F.lit("gone").alias("top"),
+    )
+    chain = build_chain([{"name": "schema_field_remover",
+                          "fields": ["top", "s.drop_me", "s.inner.y",
+                                     "arr.v", "missing.nope"]}])
+    out = chain.convert(df)
+    assert "top" not in out.columns
+    s_fields = [f.name for f in out.schema["s"].dataType.fields]
+    assert s_fields == ["keep", "inner"]
+    inner = [f.name for f in out.schema["s"].dataType["inner"].dataType.fields]
+    assert inner == ["x"]
+    arr_el = [f.name for f in out.schema["arr"].dataType.elementType.fields]
+    assert arr_el == ["u"]
+    assert out.count() == 3
+
+
+# ---------------------------------------------------------------- limiters
+def test_count_limiter_bounds_engine_admission(spark, tmp_table_dir):
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.sources import generate_change_events
+
+    ev = generate_change_events(spark, 800, n_repos=8, paths_per_repo=40,
+                                dup_frac=0.0, delete_frac=0.0, ooo_window=10)
+    p = os.path.join(tmp_table_dir, "ev")
+    ev.write.mode("overwrite").parquet(p)
+    stored = spark.read.parquet(p)
+    eng = CdcEngine(
+        spark, stored,
+        table_root=os.path.join(tmp_table_dir, "t"),
+        state_root=os.path.join(tmp_table_dir, "s"),
+        max_records_per_batch=300, n_buckets=4,
+        limiter=CountBasedLimiter(500),
+    )
+    results = eng.run_until_caught_up(max_batches=20)
+    applied = sum(r.rows_read for r in results)
+    # budget 500: batch1 admits 300, batch2 admits the remaining 200-ish,
+    # then the limiter closes admission even though backlog remains
+    assert 400 <= applied <= 500
+    wm = eng.store.last_committed_watermarks()
+    assert max(wm.values()) < 799
+
+
+def test_rate_limiter_token_bucket():
+    t = [0.0]
+    lim = RateBasedLimiter(100.0, burst_secs=1.0, clock=lambda: t[0])
+    assert lim.available() == 0
+    t[0] = 0.5
+    assert lim.available() == 50
+    lim.consume(50)
+    assert lim.available() == 0
+    t[0] = 10.0  # long idle: burst cap bounds accumulation
+    assert lim.available() == 100
+
+
+def test_time_limiter():
+    t = [0.0]
+    lim = TimeBasedLimiter(5.0, clock=lambda: t[0])
+    assert lim.available() > 0
+    t[0] = 6.0
+    assert lim.available() == 0
