@@ -12,7 +12,6 @@
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -55,11 +54,10 @@ def entry(spark: SparkSession) -> DataFrame:
         n_buckets=16,
     )
     eng.run_until_caught_up()
-    final = eng.current_state()
-    # materialize the result before the temp data is cleaned up
-    out = final.toPandas()
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(out, schema=final.schema)
+    # Return the lazy table read directly — no driver-side collect in the
+    # flagship. The temp workdir stays for the session so the caller's
+    # (driver's) own .collect() streams from the committed parquet.
+    return eng.current_state()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -343,8 +343,10 @@ class CdcEngine:
         checker = RowLevelPolicyChecker(self.row_policies, self.err_path)
         quality = checker.execute(converted, run_id=batch_id)
         good = quality.passed
-        # exact passed-row count only when policies can actually drop rows
-        rows_read = good.count() if self.row_policies else n_rows
+        # passed-row count comes from the checker's single aggregate — no
+        # separate count() scan of the batch
+        rows_read = (quality.passed_count
+                     if quality.passed_count is not None else n_rows)
 
         # Skew: hot repos (flagged in the rollup above) take the salted
         # two-stage reduce path.

@@ -47,6 +47,9 @@ class RowQualityResult:
     passed: DataFrame
     failed: DataFrame
     counts: dict[str, int] = field(default_factory=dict)
+    # rows in `passed`, measured by the SAME aggregate that produced the
+    # violation counts — callers must not re-count (extra batch scan)
+    passed_count: int | None = None
 
 
 class RowLevelPolicyChecker:
@@ -72,26 +75,33 @@ class RowLevelPolicyChecker:
         """
         if not self.policies:
             return RowQualityResult(df, df.limit(0), {})
+        hard = [p.predicate for p in self.policies
+                if p.type == PolicyType.ERR_FILE]
+        all_pass = None
+        for pr in hard:
+            all_pass = pr if all_pass is None else (all_pass & pr)
+        # ONE aggregate yields per-policy violation counts, the total AND
+        # the passed-row count — downstream (task gates, metrics) must not
+        # re-scan the batch just to count rows.
         agg = df.agg(
             *[
                 F.sum((~p.predicate).cast("long")).alias(p.name)
                 for p in self.policies
             ],
             F.count(F.lit(1)).alias("__total"),
+            F.sum((all_pass if all_pass is not None else F.lit(True))
+                  .cast("long")).alias("__passed"),
         ).collect()[0]
         counts = {p.name: int(agg[p.name] or 0) for p in self.policies}
+        passed_count = int(agg["__passed"] or 0)
         for p in self.policies:
             if p.type == PolicyType.FAIL and counts[p.name] > 0:
                 raise PolicyViolation(
                     f"row policy {p.name} failed for {counts[p.name]} rows"
                 )
-        hard = [p.predicate for p in self.policies
-                if p.type == PolicyType.ERR_FILE]
         if not hard:
-            return RowQualityResult(df, df.limit(0), counts)
-        all_pass = hard[0]
-        for pr in hard[1:]:
-            all_pass = all_pass & pr
+            return RowQualityResult(df, df.limit(0), counts,
+                                    passed_count=passed_count)
         passed = df.filter(all_pass)
         failed = df.filter(~all_pass)
         if self.err_path:
@@ -103,7 +113,8 @@ class RowLevelPolicyChecker:
                 )
             else:
                 failed.write.mode("append").parquet(self.err_path)
-        return RowQualityResult(passed, failed, counts)
+        return RowQualityResult(passed, failed, counts,
+                                passed_count=passed_count)
 
 
 # ------------------------------------------------------------- task policies
