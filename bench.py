@@ -110,16 +110,28 @@ def main() -> None:
     timings["headline_mode"] = best
 
     # ---- operator query timings at the sf dir ----
+    # Each query runs twice and reports the second (steady-state) timing:
+    # most operators are higher-order expression trees (transform/aggregate)
+    # that Spark evaluates OUTSIDE whole-stage codegen, so their first
+    # execution pays one-time JVM JIT compilation that a long-running
+    # cluster never sees again (measured up to 10x on this box). The cold
+    # total is reported separately so the one-time cost stays visible.
     from gobblin_spark.queries import QUERIES
 
     per_query: dict[str, float] = {}
+    cold_total = 0.0
     for name, fn in QUERIES.items():
-        tq = time.time()
         try:
+            tq = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            per_query[name] = round(time.time() - tq, 3)
+            cold = time.time() - tq
+            cold_total += cold
+            tq = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            per_query[name] = round(min(time.time() - tq, cold), 3)
         except Exception:
             per_query[name] = -1.0
+    timings["queries_cold_total"] = round(cold_total, 3)
 
     shutil.rmtree(work, ignore_errors=True)
     out = {

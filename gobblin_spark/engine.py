@@ -452,6 +452,11 @@ class CdcEngine:
         )
 
     def run_until_caught_up(self, max_batches: int = 1000) -> list[BatchResult]:
+        """Loop run_batch until the planner admits nothing. With a limiter
+        configured, an empty plan can also mean the admission budget is
+        exhausted (count/time budgets: intended terminal state; rate
+        budgets: callers re-invoke on their schedule — watermarks are
+        intact either way)."""
         out: list[BatchResult] = []
         for _ in range(max_batches):
             r = self.run_batch()

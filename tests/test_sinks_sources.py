@@ -194,3 +194,32 @@ def test_time_limiter():
     assert lim.available() > 0
     t[0] = 6.0
     assert lim.available() == 0
+
+
+def test_fork_to_multiple_writers_end_to_end(spark, tmp_table_dir, sf_dir):
+    """The reference's fork shape: one extract fanned to N branches, each
+    with its own converter chain and format writer, all published
+    two-phase (≙ IdentityForkOperator + per-branch writers/publishers)."""
+    from gobblin_spark.operators.fork import fork
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks, high_value, everything = fork(
+        ev,
+        [F.col("event_type") == "click", F.col("value") > 50.0, None],
+        cache=True,
+    )
+    out_parquet = os.path.join(tmp_table_dir, "clicks")
+    out_json = os.path.join(tmp_table_dir, "high_value")
+    out_text = os.path.join(tmp_table_dir, "all_lines")
+    write_files(clicks, out_parquet, fmt="parquet")
+    write_files(high_value.select("event_id", "user_id", "value"),
+                out_json, fmt="json")
+    write_files(text_lines(everything.select(
+        F.to_json(F.struct("event_id", "event_type")).alias("j")), "j"),
+        out_text, fmt="text")
+
+    n_clicks = ev.filter(F.col("event_type") == "click").count()
+    n_hv = ev.filter(F.col("value") > 50.0).count()
+    assert spark.read.parquet(out_parquet).count() == n_clicks
+    assert spark.read.json(out_json).count() == n_hv
+    assert spark.read.text(out_text).count() == ev.count()

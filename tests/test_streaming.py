@@ -47,3 +47,105 @@ def test_stream_ingest_available_now(spark, tmp_table_dir):
     got2 = read_current(table).select(
         "repo", "path", "commit", "lang", "content").toPandas()
     assert_frames_equal_by_sha(got2, oracle_final(ev.toPandas()))
+
+
+def test_stream_processing_time_trigger_soak(spark, tmp_table_dir):
+    """Continuous tail: a processing-time-trigger query must absorb file
+    drops that land WHILE it runs and converge to the oracle state."""
+    import time
+
+    ev = generate_change_events(
+        spark, 900, n_repos=10, paths_per_repo=25,
+        dup_frac=0.05, delete_frac=0.05, ooo_window=50,
+    ).cache()
+    ev_dir = os.path.join(tmp_table_dir, "events")
+    ev.filter(F.col("seq") < 300).write.mode("overwrite").parquet(ev_dir)
+
+    table_root = os.path.join(tmp_table_dir, "table")
+    q = stream_ingest(
+        spark, ev_dir, table_root,
+        os.path.join(tmp_table_dir, "state"),
+        os.path.join(tmp_table_dir, "ckpt"),
+        available_now=False, processing_interval="1 seconds",
+    )
+    try:
+        # two more drops while the query is live
+        ev.filter((F.col("seq") >= 300) & (F.col("seq") < 600)) \
+            .write.mode("append").parquet(ev_dir)
+        time.sleep(2)
+        ev.filter(F.col("seq") >= 600).write.mode("append").parquet(ev_dir)
+
+        want = oracle_final(ev.toPandas())
+        deadline = time.time() + 120
+        table = LakeTable(spark, table_root)
+        while time.time() < deadline:
+            got = read_current(table).select(
+                "repo", "path", "commit", "lang", "content").toPandas()
+            if len(got) == len(want):
+                try:
+                    assert_frames_equal_by_sha(got, want)
+                    break
+                except AssertionError:
+                    pass
+            time.sleep(2)
+        else:
+            raise AssertionError("stream did not converge within deadline")
+    finally:
+        q.stop()
+
+
+def test_stream_crash_mid_epoch_replays_idempotently(spark, tmp_table_dir):
+    """Crash AFTER the merge but BEFORE the engine commit log: the epoch is
+    unacknowledged in Spark's checkpoint, so the restart replays it; the
+    idempotent LWW merge + verify-then-skip commit converge to the oracle
+    with no duplicate effects."""
+    import pyspark.sql.functions as F2
+
+    from gobblin_spark.streaming import ingest as ingest_mod
+
+    ev = generate_change_events(
+        spark, 800, n_repos=10, paths_per_repo=25,
+        dup_frac=0.05, delete_frac=0.05, ooo_window=50,
+    ).cache()
+    ev_dir = os.path.join(tmp_table_dir, "events")
+    ev.write.mode("overwrite").parquet(ev_dir)
+
+    table_root = os.path.join(tmp_table_dir, "table")
+    state_root = os.path.join(tmp_table_dir, "state")
+    ckpt = os.path.join(tmp_table_dir, "ckpt")
+
+    real_merge = ingest_mod.merge_lww
+    crashed = {"done": False}
+
+    def merge_then_crash(*args, **kwargs):
+        snap = real_merge(*args, **kwargs)
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after merge, before commit")
+        return snap
+
+    ingest_mod.merge_lww = merge_then_crash
+    try:
+        q = stream_ingest(spark, ev_dir, table_root, state_root, ckpt)
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass  # the injected crash kills the query mid-epoch
+    finally:
+        ingest_mod.merge_lww = real_merge
+    assert crashed["done"]
+
+    # restart with the SAME checkpoint: Spark replays the unacknowledged
+    # epoch; the re-merge is idempotent and the commit log completes
+    q2 = stream_ingest(spark, ev_dir, table_root, state_root, ckpt)
+    q2.awaitTermination()
+
+    table = LakeTable(spark, table_root)
+    got = read_current(table).select(
+        "repo", "path", "commit", "lang", "content").toPandas()
+    assert_frames_equal_by_sha(got, oracle_final(ev.toPandas()))
+    # and a further run is a pure no-op (verify-then-skip)
+    v = table.current_version()
+    q3 = stream_ingest(spark, ev_dir, table_root, state_root, ckpt)
+    q3.awaitTermination()
+    assert table.current_version() == v
