@@ -1,1 +1,4 @@
-from gobblin_spark.streaming.ingest import stream_ingest  # noqa: F401
+from gobblin_spark.streaming.ingest import (  # noqa: F401
+    kafka_stream_source,
+    stream_ingest,
+)

@@ -141,3 +141,39 @@ def test_exact_dedup_plan_has_no_collect_list(spark):
     assert pairs.count() == 93
     kept = {r["kept_id"] for r in pairs.collect()}
     assert kept == set(range(7))
+
+
+def test_untested_converters_roundtrip(spark):
+    """Covers the converters flagged 'untested' in round 1:
+    FieldRetriever, ToJson, Identity, and the SchemaCompatibilityPolicy."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.operators.converters import (
+        FieldRetrieverConverter,
+        IdentityConverter,
+        ToJsonConverter,
+    )
+    from gobblin_spark.operators.quality import SchemaCompatibilityPolicy
+
+    df = spark.range(3).select(
+        F.col("id"),
+        F.struct(F.lit("x").alias("a"),
+                 (F.col("id") * 2).alias("b")).alias("nested"),
+    )
+    # field retriever: nested path becomes the record
+    got = FieldRetrieverConverter(field="nested.b").convert(df)
+    assert got.columns == ["b"]
+    assert [r["b"] for r in got.orderBy("b").collect()] == [0, 2, 4]
+    # identity: exact same plan/rows
+    assert IdentityConverter().convert(df) is df
+    # to_json: whole record to one parseable JSON string
+    j = ToJsonConverter(out_col="payload").convert(df.select("id"))
+    assert j.columns == ["payload"]
+    parsed = [_json.loads(r["payload"]) for r in j.collect()]
+    assert sorted(p["id"] for p in parsed) == [0, 1, 2]
+    # schema compatibility policy: names+types match, nullability ignored
+    pol = SchemaCompatibilityPolicy(expected=df.schema)
+    assert pol.check(df.schema)
+    assert not pol.check(df.select("id").schema)

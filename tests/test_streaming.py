@@ -149,3 +149,21 @@ def test_stream_crash_mid_epoch_replays_idempotently(spark, tmp_table_dir):
     q3 = stream_ingest(spark, ev_dir, table_root, state_root, ckpt)
     q3.awaitTermination()
     assert table.current_version() == v
+
+
+def test_kafka_stream_source_option_surface(spark):
+    """The Kafka-fronted source builder: options map onto Spark's connector
+    knobs; without the connector jar (this environment) .load() inside the
+    builder raises the standard missing-data-source error — asserting the
+    gate is clean, not a silent stub."""
+    import pytest as _pytest
+
+    from gobblin_spark.streaming import kafka_stream_source
+
+    with _pytest.raises(Exception, match="kafka"):
+        kafka_stream_source(
+            spark, "localhost:9092", "changes",
+            starting_offsets="earliest",
+            max_offsets_per_trigger=100_000,
+            value_schema_ddl="seq long, op string, repo string, path string",
+        )
