@@ -50,7 +50,6 @@ from gobblin_spark.lakehouse.merge import (
     DELETED_COL,
     SEQ_COL,
     compact,
-    gc_tombstones,
     merge_lww_mor,
     read_current,
 )
@@ -280,40 +279,61 @@ class CdcEngine:
                 .drop("__bin")
             )
 
-        # ONE metadata pass for row count + schema versions + hot repos:
-        # rollup('repo') yields per-repo rows AND the grand-total row in a
-        # single shuffle; only rows over the hot threshold (vs the plan's
-        # size estimate) plus the total row come back to the driver.
-        thr = self.planner.hot_key_threshold * max(1, plan.total_est_records)
-        stats = (
-            data.rollup("repo")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.max("schema_version").alias("sv_max"),
-                F.collect_set("schema_version").alias("svs"),
-                # grouping()=1 marks the rollup grand-total row — a genuine
-                # NULL-repo data group has grouping()=0, so the total is
-                # unambiguous even with NULL keys in the data.
-                F.grouping("repo").alias("__istotal"),
-            )
-            .filter((F.col("__istotal") == 1) | (F.col("cnt") > thr))
-            .collect()
+        # Batch metadata (row count + schema versions + hot repos). The MOR
+        # fast path needs NONE of it up front: schema stats rode the
+        # planning scan, the exact row count comes from an Observation on
+        # the apply job itself, and a keyed LWW *aggregate* has no reducer
+        # skew to salt — max_by is algebraic, so partial (map-side)
+        # aggregation collapses a hot key to ≤1 row per map task before the
+        # shuffle. The explicit rollup pass runs only when something really
+        # must know counts/hot-keys BEFORE mutating the table: COW (salted
+        # two-stage merge plans its shuffle around hot keys), task-level
+        # publish gates, or a retry re-plan (no planning scan → no stats).
+        run_rollup = (
+            self.merge_mode == "cow"
+            or bool(self.task_policies)
+            or plan.sv_max is None
         )
-        # (an all-marker batch — op='S' only — aggregates to no rows at all)
-        total = next((r for r in stats if r["__istotal"] == 1), None)
-        if total is None:
-            n_rows, sv_max, versions = 0, 1, [1]
+        if run_rollup:
+            # rollup('repo') yields per-repo rows AND the grand-total row in
+            # one shuffle; only rows over the hot threshold (vs the plan's
+            # size estimate) plus the total row come back to the driver.
+            thr = self.planner.hot_key_threshold * max(
+                1, plan.total_est_records)
+            stats = (
+                data.rollup("repo")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.max("schema_version").alias("sv_max"),
+                    F.collect_set("schema_version").alias("svs"),
+                    # grouping()=1 marks the rollup grand-total row — a
+                    # genuine NULL-repo data group has grouping()=0, so the
+                    # total is unambiguous even with NULL keys in the data.
+                    F.grouping("repo").alias("__istotal"),
+                )
+                .filter((F.col("__istotal") == 1) | (F.col("cnt") > thr))
+                .collect()
+            )
+            # (an all-marker batch — op='S' only — aggregates to no rows)
+            total = next((r for r in stats if r["__istotal"] == 1), None)
+            if total is None:
+                n_rows, sv_max, versions = 0, 1, [1]
+            else:
+                n_rows, sv_max = int(total["cnt"]), int(total["sv_max"] or 1)
+                versions = sorted(int(v) for v in (total["svs"] or [1]))
+            hot = [
+                r["repo"]
+                for r in sorted(
+                    (r for r in stats
+                     if r["__istotal"] == 0 and r["repo"] is not None),
+                    key=lambda r: -r["cnt"],
+                )[:64]
+            ]
         else:
-            n_rows, sv_max = int(total["cnt"]), int(total["sv_max"] or 1)
-            versions = sorted(int(v) for v in (total["svs"] or [1]))
-        hot = [
-            r["repo"]
-            for r in sorted(
-                (r for r in stats
-                 if r["__istotal"] == 0 and r["repo"] is not None),
-                key=lambda r: -r["cnt"],
-            )[:64]
-        ]
+            n_rows = None  # resolved by the apply-job Observation below
+            sv_max = plan.sv_max
+            versions = plan.schema_versions or [1]
+            hot = []
         tp = mark("meta", tp)
 
         # Schema-change events: evolve target + registry BEFORE data apply.
@@ -371,9 +391,13 @@ class CdcEngine:
                 f"{failed_gates} (rows_read={rows_read})"
             )
 
+        # MOR fast path (rows_read is None): the applied-row count comes
+        # from the delta's parquet footers via the manifest — no extra scan
+        # and no extra job. (An all-filtered batch commits an empty delta;
+        # harmless: LWW over nothing, folded by the next compaction.)
         snapshot_version = None
         rows_merged = 0
-        if rows_read:
+        if rows_read is None or rows_read:
             apply_fn = merge_lww if self.merge_mode == "cow" else merge_lww_mor
             snap = apply_fn(
                 self.table,
@@ -386,34 +410,32 @@ class CdcEngine:
                 properties={"batch_id": batch_id},
             )
             snapshot_version = snap.version
+            if rows_read is None:
+                rows_read = int(snap.properties.get("batch_rows", 0))
             rows_merged = rows_read
             tp = mark("merge_apply", tp)
             if self.merge_mode == "mor":
                 self._batches_since_compact += 1
                 if self._batches_since_compact >= self.compact_every:
+                    # Tombstone GC rides the compaction rewrite: seq is
+                    # DELIVERY order and planning only ever admits seq >
+                    # committed watermark, so no event at or below the
+                    # pre-batch low watermark can still arrive — those
+                    # tombstones are dropped by the same pass that folds
+                    # the deltas (a separate GC pass would read and
+                    # rewrite the whole live table a second time).
+                    horizon = (self.store.global_low_watermark()
+                               if self.gc_after_compact else -1)
                     snap = compact(
                         self.table,
                         salt_buckets=self.salt_buckets if hot else 0,
                         hot_keys=hot_df,
                         properties={"compacted_after": batch_id},
+                        gc_horizon_seq=horizon if horizon >= 0 else None,
                     )
                     snapshot_version = snap.version
                     self._batches_since_compact = 0
                     tp = mark("compact", tp)
-                    # Tombstone GC: seq is DELIVERY order and planning only
-                    # ever admits seq > committed watermark, so no event
-                    # below the last committed watermark can still arrive —
-                    # tombstones at or below it are dead weight. Horizon is
-                    # the pre-batch watermark (conservative: this batch
-                    # commits later). File rewrite is pruned by per-file
-                    # has_tombstones + min_seq stats.
-                    if (self.gc_after_compact
-                            and int(snap.properties.get("mor_deltas", 0)) == 0):
-                        horizon = self.store.global_low_watermark()
-                        if horizon >= 0:
-                            snap = gc_tombstones(self.table, horizon)
-                            snapshot_version = snap.version
-                            tp = mark("gc", tp)
 
         wall = int((time.time() - t0) * 1000)
         per_unit_wall = wall // max(1, len(states))

@@ -195,13 +195,24 @@ def merge_lww_mor(
     hot_keys: DataFrame | None = None,
     properties: dict[str, Any] | None = None,
     expected_version: int | None = None,
+    pre_reduce: bool = False,
 ) -> Snapshot:
     """Merge-on-read apply: the 100 TB scale path.
 
-    Writes the batch's in-batch LWW winners as NEW delta files — the target
-    is never read or rewritten at apply time, so apply cost is O(batch), not
-    O(affected table buckets). Readers resolve LWW across base+delta files
-    (``read_current``); ``compact`` folds deltas back into one row per key.
+    Writes the batch as NEW delta files — the target is never read or
+    rewritten at apply time, so apply cost is O(batch), not O(affected
+    table buckets). Readers resolve LWW across base+delta files
+    (``read_current``); ``compact`` folds deltas back to one row per key.
+
+    The apply's ONLY wide operation is the single repartition that clusters
+    rows by storage bucket for the write. ``pre_reduce=True`` additionally
+    collapses in-batch duplicate keys with a keyed LWW shuffle before
+    writing — smaller deltas at the cost of a second full-payload shuffle
+    per batch. Measured on the bench input (~5% duplicates + in-batch key
+    collisions) the extra shuffle costs more than the delta shrink saves,
+    so the default is off; turn it on for pathological batches where most
+    rows share few keys (there the delta shrink also defuses read-side
+    skew).
 
     This is the faithful Spark rendering of the reference's own
     architecture: ingest appends (FsDataWriter/BaseDataPublisher publish
@@ -229,12 +240,16 @@ def merge_lww_mor(
         F.col(seq_col).cast("long").alias(SEQ_COL),
         (F.col(op_col) == F.lit("D")).alias(DELETED_COL),
     )
-    # In-batch pre-reduce: here it pays (unlike COW) because it shrinks the
-    # appended delta to one row per key with zero target reads.
-    winners = lww_reduce(batch_rows, keys, SEQ_COL, salt_buckets, hot_keys)
-    new_files = table.write_data_files(winners, seq_col=SEQ_COL)
+    if pre_reduce:
+        batch_rows = lww_reduce(batch_rows, keys, SEQ_COL, salt_buckets,
+                                hot_keys)
+    new_files = table.write_data_files(batch_rows, seq_col=SEQ_COL,
+                                       reduced=pre_reduce)
     props = dict(properties or {})
     props["mor_deltas"] = int(snap.properties.get("mor_deltas", 0)) + 1
+    # exact applied-row count for free from the indexed parquet footers
+    # (without pre_reduce the delta holds precisely the batch's rows)
+    props["batch_rows"] = sum(f.rows for f in new_files)
     return table.commit(
         keep_files=snap.files,
         add_files=new_files,
@@ -250,10 +265,21 @@ def compact(
     properties: dict[str, Any] | None = None,
     buckets: set[int] | None = None,
     min_files_per_bucket: int = 2,
+    gc_horizon_seq: int | None = None,
 ) -> Snapshot:
     """Fold MOR delta files into one row per key (LWW by __seq) — the
     reference's standalone compaction job (MRCompactor), as one bucketed
     Spark job: shuffle by key is bucket-aligned with the storage layout.
+
+    ``gc_horizon_seq`` folds tombstone GC into the same rewrite: tombstones
+    at or below the horizon (no event with smaller seq can still arrive —
+    planning only admits seq > committed watermark) are dropped from the
+    compacted output, for free. A separate ``gc_tombstones`` pass after
+    compaction would read and rewrite the whole live table AGAIN — at 100 TB
+    that second rewrite is the difference between compaction being O(table)
+    and O(2·table) per cycle. Buckets this incremental pass skips
+    (single-file, no deltas) keep their dead tombstones until they next
+    receive writes; ``gc_tombstones`` remains for forcing those clean.
 
     Incremental by default: only buckets holding ≥ min_files_per_bucket
     files are rewritten (a bucket with one file is already one-row-per-key);
@@ -265,27 +291,38 @@ def compact(
     if int(snap.properties.get("mor_deltas", 0)) == 0:
         return snap
     per_bucket: dict[int, int] = {}
+    unreduced: set[int] = set()
     for f in snap.files:
         per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        if not f.reduced:
+            unreduced.add(f.bucket)
+    # a bucket needs folding when files can conflict on a key: ≥2 files, or
+    # a single raw-append delta (not guaranteed one-row-per-key internally)
     target_buckets = {
         b for b, n in per_bucket.items() if n >= min_files_per_bucket
-    }
+    } | unreduced
+    need_fold = set(target_buckets)
     if buckets is not None:
         target_buckets &= buckets
     if not target_buckets:
         props = dict(properties or {})
-        props["mor_deltas"] = 0
+        props["mor_deltas"] = int(bool(need_fold))
         return table.commit(keep_files=snap.files, add_files=[],
                             properties=props, expected_version=snap.version)
     keep = [f for f in snap.files if f.bucket not in target_buckets]
     df = table.read(buckets=target_buckets)
     final = lww_reduce(df, snap.merge_keys, SEQ_COL, salt_buckets, hot_keys)
+    if gc_horizon_seq is not None:
+        final = final.filter(
+            ~(F.col(DELETED_COL) & (F.col(SEQ_COL) <= gc_horizon_seq)))
     new_files = table.write_data_files(final, seq_col=SEQ_COL)
     props = dict(properties or {})
-    # deltas remain only if a bucket subset was explicitly requested
+    if gc_horizon_seq is not None:
+        props["gc_horizon_seq"] = gc_horizon_seq
+    # deltas remain only if a bucket subset was explicitly requested and
+    # some conflict-prone bucket was left unfolded
     props["mor_deltas"] = 0 if buckets is None else int(
-        any(per_bucket.get(f.bucket, 0) >= min_files_per_bucket
-            for f in keep)
+        any(f.bucket in need_fold for f in keep)
     )
     return table.commit(
         keep_files=keep,

@@ -79,6 +79,13 @@ class DataFile:
     # time-partition value (e.g. "2024-01-05-13") when the table has a
     # partition_spec; None for unpartitioned tables
     partition: str | None = None
+    # True when the writer guarantees at most one row per merge key WITHIN
+    # this file (LWW-reduced output: COW merge, compaction, pre-reduced
+    # deltas). Raw MOR delta appends set False — a bucket holding such a
+    # file needs LWW resolution even if it is the bucket's only file.
+    # Default True keeps legacy manifests valid (everything written before
+    # raw-append deltas existed was reduced).
+    reduced: bool = True
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -91,6 +98,7 @@ class DataFile:
             "max_seq": self.max_seq,
             "has_tombstones": self.has_tombstones,
             "partition": self.partition,
+            "reduced": self.reduced,
         }
 
     @staticmethod
@@ -359,6 +367,7 @@ class LakeTable:
         seq_col: str | None = None,
         schema_version: int | None = None,
         partitions_per_bucket: int = 1,
+        reduced: bool = True,
     ) -> list[DataFile]:
         """Write df as new data files (NOT yet visible — commit separately).
 
@@ -394,10 +403,12 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
-        return self._index_written_files(out_dir, write_id, sv, seq_col)
+        return self._index_written_files(out_dir, write_id, sv, seq_col,
+                                         reduced=reduced)
 
     def _index_written_files(
-        self, out_dir: str, write_id: str, schema_version: int, seq_col: str | None
+        self, out_dir: str, write_id: str, schema_version: int,
+        seq_col: str | None, reduced: bool = True
     ) -> list[DataFile]:
         """Build DataFile entries from parquet footers (no data read).
 
@@ -467,6 +478,7 @@ class LakeTable:
                 max_seq=max_seq,
                 has_tombstones=has_tombstones,
                 partition=partition,
+                reduced=reduced,
             )
 
         if not targets:

@@ -60,6 +60,13 @@ class BatchPlan:
     bins: list[list[WorkUnit]] = field(default_factory=list)
     hot_repos: list[str] = field(default_factory=list)
     total_est_records: int = 0
+    # schema-version stats harvested from the SAME planning scan (may
+    # slightly overshoot the admitted range — the window upper bound is
+    # ≥ batch_high — which only ever evolves the target EARLY, never late).
+    # None = unknown (retry re-plans have no scan); callers fall back to a
+    # batch-scan rollup.
+    sv_max: int | None = None
+    schema_versions: list[int] = field(default_factory=list)
 
     @property
     def empty(self) -> bool:
@@ -174,17 +181,27 @@ class Planner:
         fresh = events.filter(
             (F.col("seq") > global_low) & (F.col("seq") <= global_low + cap)
         )
+        sv_col = (F.col("schema_version")
+                  if "schema_version" in events.columns else F.lit(1))
         stats_rows = (
             fresh.groupBy("event_group")
             .agg(
                 F.min("seq").alias("min_seq"),
                 F.max("seq").alias("max_seq"),
                 F.count(F.lit(1)).alias("cnt"),
+                # schema stats piggyback on the planning scan so the engine
+                # needs no separate metadata pass over the batch
+                F.max(sv_col).alias("sv_max"),
+                F.collect_set(sv_col).alias("svs"),
             )
             .collect()
         )
         if not stats_rows:
             return BatchPlan(batch_id=batch_id, units=[])
+        plan_sv_max = max(int(r["sv_max"] or 1) for r in stats_rows)
+        plan_versions = sorted(
+            {int(v) for r in stats_rows for v in (r["svs"] or [1])}
+        ) or [1]
 
         # 2. Global admission cap: seq is globally dense, so a seq span is a
         # record count; trim high to low + cap.
@@ -263,7 +280,8 @@ class Planner:
                 s_lo = s_hi
                 i += 1
 
-        plan = BatchPlan(batch_id=batch_id, units=units)
+        plan = BatchPlan(batch_id=batch_id, units=units,
+                         sv_max=plan_sv_max, schema_versions=plan_versions)
         plan.bins = bin_pack_wfd(units, self.target_bins)
         plan.total_est_records = sum(u.est_records for u in units)
         return plan

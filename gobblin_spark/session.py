@@ -48,6 +48,15 @@ def get_spark(
         # Keep partition sizes bounded at scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        # zstd for data files AND shuffle/spill blocks: a CDC apply's cost
+        # is dominated by bytes moved (scan + shuffle + write of the
+        # payload), so trading CPU for bytes raises events/sec/core on any
+        # IO- or network-bound cluster. ~30-40% smaller than the snappy/lz4
+        # defaults on text-heavy payloads, at a compression speed that
+        # stays off the critical path.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.io.compression.zstd.level", "1")
         # Quieter, faster local runs.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -45,19 +45,26 @@ def _u01(*cols) -> F.Column:
 def _content_expr(repo, path, version, n_tokens: int = 24) -> F.Column:
     """Deterministic pseudo source text, a function of (key, version) ONLY —
     duplicates re-delivered at a later seq carry identical content, which is
-    what makes sha256-equality a valid convergence check."""
-    return F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(n_tokens)),
-            lambda i: F.substring(
-                F.sha2(F.concat_ws("|", repo, path, version.cast("string"),
-                                   i.cast("string")), 256),
-                1,
-                8,
-            ),
-        ),
+    what makes sha256-equality a valid convergence check.
+
+    Built from ceil(n_tokens/8) top-level sha2 calls (each 64 hex chars ≈
+    eight 8-char tokens) re-chunked by one regexp — all whole-stage-codegen
+    expressions. The obvious alternative (transform(sequence(1, n)) with a
+    sha2 lambda) drops Spark into per-element interpreted eval, which made
+    fixture generation ~100× slower at n_tokens=96."""
+    n_chunks = max(1, (n_tokens + 7) // 8)
+    joined = F.concat(
+        *[
+            F.sha2(
+                F.concat_ws("|", repo, path, version.cast("string"),
+                            F.lit(str(i))),
+                256,
+            )
+            for i in range(1, n_chunks + 1)
+        ]
     )
+    # 8-char tokens separated by single spaces (trailing space trimmed)
+    return F.trim(F.regexp_replace(joined, "(.{8})", "$1 "))
 
 
 def generate_repo_table(
