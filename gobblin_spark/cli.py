@@ -72,6 +72,53 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_tail(args) -> int:
+    """Incremental directory tail: snapshot-diff file discovery composed
+    with the CDC batch loop (≙ the reference's FileBasedSource feeding a
+    job run, FileBasedSource.java:74-140 + AbstractJobLauncher).
+
+    Exactly-once end-to-end with no coordination between the two
+    checkpoints: a crash after the engine's commit but before the file
+    snapshot commit re-plans the same files next run, and the engine's
+    watermark planning (seq > committed watermark) skips every
+    already-applied event — re-reading a file is idempotent by design.
+    """
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.sources.filebased import FileDiffSource
+
+    spark = _get_session(args)
+    src = FileDiffSource(args.state, pattern=args.pattern,
+                         max_partitions=args.max_partitions)
+    plan = src.plan(args.events_dir)
+    if plan.empty:
+        print(json.dumps({"files_pulled": 0, "batches": 0,
+                          "events_applied": 0}))
+        return 0
+    events = src.read(spark, plan, fmt=args.format)
+    eng = CdcEngine(
+        spark,
+        events,
+        table_root=args.table,
+        state_root=args.state,
+        max_records_per_batch=args.max_records_per_batch,
+        merge_mode=args.merge_mode,
+        compact_every=args.compact_every,
+    )
+    t0 = time.time()
+    results = eng.run_until_caught_up(max_batches=args.max_batches)
+    wall = time.time() - t0
+    src.commit(plan)
+    applied = sum(r.rows_read for r in results)
+    print(json.dumps({
+        "files_pulled": len(plan.files_to_pull),
+        "batches": len(results),
+        "events_applied": applied,
+        "wall_sec": round(wall, 3),
+        "snapshot_version": eng.table.current_version(),
+    }))
+    return 0
+
+
 def cmd_status(args) -> int:
     from gobblin_spark.state.store import StateStore
 
@@ -132,6 +179,23 @@ def main(argv: list[str] | None = None) -> int:
                      help="dev only: build a local[N] session instead of "
                           "using the spark-submit session")
 
+    tl = sub.add_parser(
+        "tail", help="incremental directory tail: ingest only new/changed "
+                     "event files since the last committed run")
+    tl.add_argument("--events-dir", required=True,
+                    help="directory that event files land in")
+    tl.add_argument("--table", required=True)
+    tl.add_argument("--state", required=True)
+    tl.add_argument("--pattern", default="*.parquet")
+    tl.add_argument("--format", default="parquet",
+                    choices=["parquet", "json", "csv", "text", "orc"])
+    tl.add_argument("--max-partitions", type=int, default=32)
+    tl.add_argument("--max-records-per-batch", type=int, default=2_000_000)
+    tl.add_argument("--max-batches", type=int, default=1000)
+    tl.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    tl.add_argument("--compact-every", type=int, default=8)
+    tl.add_argument("--local-cores", type=int, default=0)
+
     st = sub.add_parser("status", help="print watermarks + pending batches")
     st.add_argument("--state", required=True)
 
@@ -145,7 +209,7 @@ def main(argv: list[str] | None = None) -> int:
     vac.add_argument("--local-cores", type=int, default=0)
 
     args = p.parse_args(argv)
-    return {"ingest": cmd_ingest, "status": cmd_status,
+    return {"ingest": cmd_ingest, "tail": cmd_tail, "status": cmd_status,
             "compact": cmd_compact, "vacuum": cmd_vacuum}[args.cmd](args)
 
 

@@ -179,11 +179,16 @@ class CdcEngine:
         task_policies: list | None = None,
         plan_partitioning: bool = True,
         limiter=None,
+        delta_distribution: str = "cluster",
     ):
         """merge_mode: 'cow' rewrites affected buckets per batch (zero read
         amplification); 'mor' appends delta files per batch and compacts
         every ``compact_every`` batches (O(batch) apply — the 100 TB path,
-        mirroring the reference's ingest-then-compact split)."""
+        mirroring the reference's ingest-then-compact split).
+
+        delta_distribution: how MOR delta writes reach their bucket files —
+        'cluster' (one shuffle, one file per bucket) or 'fanout' (no
+        shuffle, per-task bucketed files; see LakeTable.write_data_files)."""
         self.spark = spark
         self._events = events
         self.registry = registry or default_registry()
@@ -203,6 +208,8 @@ class CdcEngine:
         self.err_path = err_path
         assert merge_mode in ("cow", "mor")
         self.merge_mode = merge_mode
+        assert delta_distribution in ("cluster", "fanout")
+        self.delta_distribution = delta_distribution
         self.compact_every = compact_every
         self.gc_after_compact = gc_after_compact
         self._batches_since_compact = 0
@@ -399,6 +406,8 @@ class CdcEngine:
         rows_merged = 0
         if rows_read is None or rows_read:
             apply_fn = merge_lww if self.merge_mode == "cow" else merge_lww_mor
+            apply_kw = ({} if self.merge_mode == "cow"
+                        else {"distribution": self.delta_distribution})
             snap = apply_fn(
                 self.table,
                 good,
@@ -408,6 +417,7 @@ class CdcEngine:
                 salt_buckets=self.salt_buckets if hot else 0,
                 hot_keys=hot_df,
                 properties={"batch_id": batch_id},
+                **apply_kw,
             )
             snapshot_version = snap.version
             if rows_read is None:

@@ -196,6 +196,7 @@ def merge_lww_mor(
     properties: dict[str, Any] | None = None,
     expected_version: int | None = None,
     pre_reduce: bool = False,
+    distribution: str = "cluster",
 ) -> Snapshot:
     """Merge-on-read apply: the 100 TB scale path.
 
@@ -205,7 +206,10 @@ def merge_lww_mor(
     (``read_current``); ``compact`` folds deltas back to one row per key.
 
     The apply's ONLY wide operation is the single repartition that clusters
-    rows by storage bucket for the write. ``pre_reduce=True`` additionally
+    rows by storage bucket for the write — and ``distribution="fanout"``
+    removes even that (per-task bucketed files, Iceberg's
+    distribution-mode=none; compaction folds the extra files).
+    ``pre_reduce=True`` additionally
     collapses in-batch duplicate keys with a keyed LWW shuffle before
     writing — smaller deltas at the cost of a second full-payload shuffle
     per batch. Measured on the bench input (~5% duplicates + in-batch key
@@ -244,7 +248,8 @@ def merge_lww_mor(
         batch_rows = lww_reduce(batch_rows, keys, SEQ_COL, salt_buckets,
                                 hot_keys)
     new_files = table.write_data_files(batch_rows, seq_col=SEQ_COL,
-                                       reduced=pre_reduce)
+                                       reduced=pre_reduce,
+                                       distribution=distribution)
     props = dict(properties or {})
     props["mor_deltas"] = int(snap.properties.get("mor_deltas", 0)) + 1
     # exact applied-row count for free from the indexed parquet footers

@@ -368,13 +368,24 @@ class LakeTable:
         schema_version: int | None = None,
         partitions_per_bucket: int = 1,
         reduced: bool = True,
+        distribution: str = "cluster",
     ) -> list[DataFile]:
         """Write df as new data files (NOT yet visible — commit separately).
 
-        The write clusters rows by bucket so each output file belongs to one
-        bucket, enabling bucket pruning on read and bounded copy-on-write on
-        MERGE. Spark writes straight to the final directory; atomicity comes
-        from the manifest, not from renames.
+        Every output file belongs to exactly one bucket (partitionBy), so
+        bucket pruning on read and bounded copy-on-write always hold. The
+        ``distribution`` knob controls HOW rows reach their bucket's file —
+        the same tradeoff as Iceberg's write.distribution-mode:
+
+        - ``cluster`` (default, ≙ hash): one repartition shuffle clusters
+          each bucket into a single task → exactly one file per non-empty
+          bucket. Right for large writes (COW merge, compaction) where file
+          count dominates.
+        - ``fanout`` (≙ none): NO shuffle — each input task writes one file
+          per bucket it holds rows for (≤ tasks × buckets files). Right for
+          small frequent appends (MOR deltas): the batch payload crosses
+          the network zero times, and periodic compaction folds the extra
+          files anyway.
         """
         snap = self.snapshot()
         sv = schema_version or snap.schema_version
@@ -394,12 +405,15 @@ class LakeTable:
                                      snap.partition_spec["granularity"]),
             )
             part_cols = ["__part", "__bucket"]
-        (
-            out.repartition(
+        if distribution == "cluster":
+            out = out.repartition(
                 max(1, snap.n_buckets * partitions_per_bucket),
                 *[F.col(c) for c in part_cols],
             )
-            .write.partitionBy(*part_cols)
+        elif distribution != "fanout":
+            raise ValueError(f"unknown write distribution: {distribution}")
+        (
+            out.write.partitionBy(*part_cols)
             .mode("overwrite")
             .parquet(out_dir)
         )

@@ -112,19 +112,31 @@ def main() -> None:
         cpus, events_path = int(sys.argv[2]), sys.argv[3]
         print(json.dumps(run_level(cpus, events_path)))
         return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--materialize":
+        # Runs in its own subprocess so the 32-core generation JVM dies
+        # with it: PySpark's JVM outlives spark.stop() until the Python
+        # process exits, and a lingering JVM in the orchestrator was
+        # measured stealing >1.5 cores DURING the timed levels.
+        print(materialize_events(sys.argv[2]), file=sys.stderr)
+        return
 
     # tmpfs scratch: a single VM disk shared by 32 threads would understate
     # a real cluster's aggregate IO bandwidth; tmpfs isolates the COMPUTE
     # scaling the criterion is about (documented in BENCH/SCALING.md)
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = None
     if EVENTS_DIR and os.path.isdir(EVENTS_DIR):
         ev_path = EVENTS_DIR
         print(f"reusing events at {ev_path}", file=sys.stderr)
     else:
         work = tempfile.mkdtemp(prefix="gobblin_scaling_input_", dir=scratch)
         ev_path = os.path.join(work, "events")
-        n_gen = materialize_events(ev_path)
-        print(f"materialized {n_gen} events at {ev_path}", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--materialize",
+             ev_path],
+            check=True, cwd=REPO,
+        )
+        print(f"materialized events at {ev_path}", file=sys.stderr)
 
     runs: dict[int, list[dict]] = {BASE_CPUS: [], BASE_CPUS * 4: []}
     for rep in range(REPEATS):
@@ -179,9 +191,10 @@ def main() -> None:
             f"**Scaling efficiency (N→4N): {out['efficiency_Nx4']}** "
             f"(criterion ≥ 0.8: {'PASS' if out['pass'] else 'FAIL'})\n"
         )
-    import shutil
+    if work is not None:
+        import shutil
 
-    shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
 
 

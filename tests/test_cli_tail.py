@@ -1,0 +1,83 @@
+"""CLI `tail` e2e: snapshot-diff file discovery composed with the CDC
+batch loop (≙ FileBasedSource feeding AbstractJobLauncher,
+FileBasedSource.java:74-140). Asserts incremental file pulls, watermark
+advance, and the exactly-once property of the two uncoordinated
+checkpoints (file snapshot + engine watermark)."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from gobblin_spark.cli import main
+from gobblin_spark.lakehouse import LakeTable
+from gobblin_spark.lakehouse.merge import read_current
+from gobblin_spark.sources import generate_change_events
+
+
+def _tail(capsys, events_dir, table, state):
+    rc = main([
+        "tail", "--events-dir", events_dir, "--table", table,
+        "--state", state, "--max-records-per-batch", "5000",
+    ])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")][-1]
+    return json.loads(out)
+
+
+def test_tail_incremental_directory_ingest(spark, tmp_table_dir, capsys):
+    incoming = os.path.join(tmp_table_dir, "incoming")
+    table = os.path.join(tmp_table_dir, "table")
+    state = os.path.join(tmp_table_dir, "state")
+
+    ev = generate_change_events(
+        spark, 6000, n_repos=10, paths_per_repo=60, dup_frac=0.05,
+        delete_frac=0.05, ooo_window=200,
+    ).cache()
+
+    # drop 1: two files covering seq <= 4000
+    ev.filter(F.col("seq") <= 2000).coalesce(1).write.parquet(
+        os.path.join(incoming, "d1"))
+    ev.filter((F.col("seq") > 2000) & (F.col("seq") <= 4000)) \
+        .coalesce(1).write.parquet(os.path.join(incoming, "d2"))
+    r1 = _tail(capsys, incoming, table, state)
+    assert r1["files_pulled"] == 2
+    # physical rows read == rows in the dropped files (dup events included)
+    assert r1["events_applied"] == ev.filter(F.col("seq") <= 4000).count()
+
+    # drop 2: only the new file may be pulled; watermark advances
+    ev.filter(F.col("seq") > 4000).coalesce(1).write.parquet(
+        os.path.join(incoming, "d3"))
+    r2 = _tail(capsys, incoming, table, state)
+    assert r2["files_pulled"] == 1
+    assert r2["events_applied"] > 0
+    v_done = r2["snapshot_version"]
+
+    # drop 3: nothing new → empty plan, no Spark work
+    r3 = _tail(capsys, incoming, table, state)
+    assert r3 == {"files_pulled": 0, "batches": 0, "events_applied": 0}
+
+    # crash window: file-snapshot commit lost AFTER the engine committed
+    # (delete the latest fs snapshot run). The next tail re-pulls ALL files
+    # of that run, but the engine's watermark skips every already-applied
+    # event — zero rows re-applied, table version unchanged.
+    snaps = sorted(os.listdir(os.path.join(state, "fs_snapshots")))
+    os.remove(os.path.join(state, "fs_snapshots", snaps[-1]))
+    r4 = _tail(capsys, incoming, table, state)
+    assert r4["files_pulled"] == 1
+    assert r4["events_applied"] == 0
+    assert r4["snapshot_version"] == v_done
+
+    # final state equals an independent LWW replay of the full event set
+    got = read_current(LakeTable(spark, table))
+    want = (
+        ev.filter(F.col("op").isin("I", "U", "D"))
+        .groupBy("repo", "path")
+        .agg(F.max_by(F.struct("op", "content"), F.col("seq")).alias("w"))
+        .filter(F.col("w.op") != "D")
+        .select("repo", "path", F.col("w.content").alias("content"))
+    )
+    assert got.select("repo", "path", "content").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("repo", "path", "content")).count() == 0
+    ev.unpersist()

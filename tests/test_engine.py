@@ -233,3 +233,20 @@ def test_row_quality_gate_err_file(spark, tmp_table_dir):
     assert os.path.exists(err)
     quarantined = spark.read.parquet(err)
     assert quarantined.filter(F.col("repo") == "repo_0000").count() > 0
+
+
+def test_mor_fanout_distribution_matches_oracle(spark, tmp_table_dir):
+    """delta_distribution='fanout' (no-shuffle per-task bucketed delta
+    writes, ≙ Iceberg write.distribution-mode=none) converges to the same
+    state; every delta file still belongs to exactly one bucket."""
+    ev = events_fixture(spark, 1500)
+    eng = make_engine(spark, tmp_table_dir, ev,
+                      merge_mode="mor", compact_every=3,
+                      delta_distribution="fanout")
+    eng.run_batch()
+    snap = eng.table.snapshot()
+    assert all(f.bucket >= 0 for f in snap.files)
+    eng.run_until_caught_up()
+    final = eng.current_state().select("repo", "path", "commit", "lang",
+                                       "content")
+    assert_frames_equal_by_sha(final.toPandas(), oracle_final(ev.toPandas()))

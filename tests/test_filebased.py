@@ -97,3 +97,31 @@ def test_work_unit_packing(spark, tmp_table_dir):
     # ceil(7/3)=3 per unit → 3 units (≙ filesPerPartition rounding)
     assert len(p.work_units) == 3
     assert sum(len(u) for u in p.work_units) == 7
+
+
+def test_text_and_json_formats(spark, tmp_table_dir):
+    """Non-parquet extract formats (≙ the reference's text/Avro file
+    sources, gobblin-core TextFileBasedSource / hadoop text extractors):
+    the same snapshot-diff plan reads jsonl and raw text lines."""
+    import json as _json
+
+    data = os.path.join(tmp_table_dir, "incoming")
+    os.makedirs(data, exist_ok=True)
+    with open(os.path.join(data, "a.jsonl"), "w") as fh:
+        for i in range(5):
+            fh.write(_json.dumps({"id": i, "v": i * 2}) + "\n")
+    src = FileDiffSource(os.path.join(tmp_table_dir, "state_j"),
+                         pattern="*.jsonl")
+    p = src.plan(data)
+    df = src.read(spark, p, fmt="json")
+    assert sorted(r["v"] for r in df.collect()) == [0, 2, 4, 6, 8]
+    src.commit(p)
+    assert src.plan(data).empty
+
+    with open(os.path.join(data, "b.log"), "w") as fh:
+        fh.write("line one\nline two\n")
+    src_t = FileDiffSource(os.path.join(tmp_table_dir, "state_t"),
+                           pattern="*.log")
+    pt = src_t.plan(data)
+    lines = src_t.read(spark, pt, fmt="text")
+    assert {r["value"] for r in lines.collect()} == {"line one", "line two"}
