@@ -269,7 +269,7 @@ class CdcEngine:
         # content column cost more than both scans together).
         pred = Planner.batch_predicate(plan.units)
         batch = self.events().filter(pred)
-        data = batch.filter(F.col("op").isin("I", "U", "D"))
+        data = batch.filter(F.expr("op IN ('I','U','D')"))
         # Plan-driven partitioning: the WFD bins decide the extract's
         # physical layout so downstream per-row stages (converter chains,
         # row-quality predicates, MOR's in-batch pre-reduce) see

@@ -178,21 +178,24 @@ class Planner:
         # globally dense, so nothing past low + cap can enter this batch —
         # the planning scan is O(cap) with parquet min/max pruning, not
         # O(all remaining events). Matters at 10^10 backlog.
+        # expr strings, not Column chains: py4j round-trips per operator are
+        # per-batch serial driver time (see batch_predicate)
         fresh = events.filter(
-            (F.col("seq") > global_low) & (F.col("seq") <= global_low + cap)
+            F.expr(f"seq > {int(global_low)}"
+                   f" AND seq <= {int(global_low + cap)}")
         )
-        sv_col = (F.col("schema_version")
-                  if "schema_version" in events.columns else F.lit(1))
+        sv = ("schema_version" if "schema_version" in events.columns
+              else "1")
         stats_rows = (
             fresh.groupBy("event_group")
             .agg(
-                F.min("seq").alias("min_seq"),
-                F.max("seq").alias("max_seq"),
-                F.count(F.lit(1)).alias("cnt"),
+                F.expr("min(seq) AS min_seq"),
+                F.expr("max(seq) AS max_seq"),
+                F.expr("count(1) AS cnt"),
                 # schema stats piggyback on the planning scan so the engine
                 # needs no separate metadata pass over the batch
-                F.max(sv_col).alias("sv_max"),
-                F.collect_set(sv_col).alias("svs"),
+                F.expr(f"max({sv}) AS sv_max"),
+                F.expr(f"collect_set({sv}) AS svs"),
             )
             .collect()
         )
@@ -316,20 +319,21 @@ class Planner:
         bins by cost) no longer serializes the convert/quality stages
         (≙ KafkaWorkUnitPacker assigning work units to MR mappers,
         KafkaWorkUnitPacker.java:256-288)."""
-        expr = None
+        # One sql string -> one F.expr call (py4j round-trips per WHEN arm
+        # are serial driver cost at every cluster size; see batch_predicate)
+        arms = []
         for bi, b in enumerate(bins):
             for u in b:
                 if u.advance:
                     continue
-                cond = (
-                    (F.col("event_group") == u.event_group)
-                    & (F.col("seq") > u.low_seq)
-                    & (F.col("seq") <= u.high_seq)
+                arms.append(
+                    f"WHEN event_group = {int(u.event_group)}"
+                    f" AND seq > {int(u.low_seq)}"
+                    f" AND seq <= {int(u.high_seq)} THEN {bi}"
                 )
-                expr = (F.when(cond, bi) if expr is None
-                        else expr.when(cond, bi))
-        return (expr.otherwise(F.lit(0)) if expr is not None
-                else F.lit(0))
+        if not arms:
+            return F.lit(0)
+        return F.expr("CASE " + " ".join(arms) + " ELSE 0 END")
 
     @staticmethod
     def batch_predicate(units: list[WorkUnit]):
@@ -337,19 +341,22 @@ class Planner:
         (low, high] ranges — re-execution-safe because the predicate is a
         pure function of the plan (≙ KafkaExtractor skip-below-watermark
         refetch dedup, KafkaExtractor.java:145-147)."""
-        pred = None
         by_group: dict[int, list[WorkUnit]] = {}
         for u in units:
             if u.advance:
                 continue  # zero-record watermark advance: nothing to read
             by_group.setdefault(u.event_group, []).append(u)
-        for g, us in by_group.items():
+        # Built as ONE sql string -> ONE F.expr call. A Column built
+        # unit-by-unit costs a py4j round-trip per operator — measured
+        # ~3.8 s of pure driver time for 32 groups on this box, a serial
+        # (Amdahl) cost every batch pays at every cluster size. The parsed
+        # expression tree is identical for Catalyst.
+        terms = []
+        for g, us in sorted(by_group.items()):
             lo = min(u.low_seq for u in us)
             hi = max(u.high_seq for u in us)
-            p = (
-                (F.col("event_group") == g)
-                & (F.col("seq") > lo)
-                & (F.col("seq") <= hi)
+            terms.append(
+                f"(event_group = {int(g)} AND seq > {int(lo)}"
+                f" AND seq <= {int(hi)})"
             )
-            pred = p if pred is None else (pred | p)
-        return pred if pred is not None else F.lit(False)
+        return F.expr(" OR ".join(terms)) if terms else F.lit(False)

@@ -29,13 +29,17 @@ def main():
                       shuffle_partitions=max(cpus, 16))
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="gobblin_profile_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
-    ev_path = os.path.join(work, "events")
-    generate_change_events(
-        spark, n_updates, n_repos=200,
-        dup_frac=0.05, delete_frac=0.05, ooo_window=5000, n_groups=32,
-        content_tokens=toks, paths_per_repo=max(2000, n_updates // 1000),
-    ).write.mode("overwrite").parquet(ev_path)
-    spark.catalog.clearCache()  # drop the generator's persisted intermediates
+    ev_dir = os.environ.get("BENCH_EVENTS_DIR")
+    if ev_dir and os.path.isdir(ev_dir):
+        ev_path = ev_dir
+    else:
+        ev_path = os.path.join(work, "events")
+        generate_change_events(
+            spark, n_updates, n_repos=200,
+            dup_frac=0.05, delete_frac=0.05, ooo_window=5000, n_groups=32,
+            content_tokens=toks, paths_per_repo=max(2000, n_updates // 1000),
+        ).write.mode("overwrite").parquet(ev_path)
+        spark.catalog.clearCache()  # drop the generator's persisted intermediates
     events = spark.read.parquet(ev_path)
     n = events.count()
     eng = CdcEngine(
