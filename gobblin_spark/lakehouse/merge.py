@@ -66,29 +66,30 @@ def lww_reduce(
     ≙ the reference's bi-level packing tradeoff
     (gobblin-core/.../packer/KafkaBiLevelWorkUnitPacker.java:42-47).
     """
-    key_cols = [F.col(k) for k in keys]
-    payload = F.struct(*[F.col(c) for c in df.columns])
     # op-rank breaks exact seq ties deterministically (D > U > I > S); after
     # normalization the delete bit lives in __deleted instead of op.
-    if "op" in df.columns:
-        op_rank = (
-            F.when(F.col("op") == "D", 3)
-            .when(F.col("op") == "U", 2)
-            .when(F.col("op") == "I", 1)
-            .otherwise(0)
-        )
-    elif DELETED_COL in df.columns:
-        op_rank = F.when(F.col(DELETED_COL), 3).otherwise(2)
+    # SQL strings, one F.expr each: per-operator Column construction is
+    # py4j round-trips — serial driver cost on every batch (see
+    # Planner.batch_predicate).
+    cols = df.columns
+    payload_sql = "struct(" + ", ".join(f"`{c}`" for c in cols) + ")"
+    if "op" in cols:
+        rank_sql = ("CASE WHEN op = 'D' THEN 3 WHEN op = 'U' THEN 2"
+                    " WHEN op = 'I' THEN 1 ELSE 0 END")
+    elif DELETED_COL in cols:
+        rank_sql = f"CASE WHEN `{DELETED_COL}` THEN 3 ELSE 2 END"
     else:
-        op_rank = F.lit(0)
-    order = F.struct(F.col(seq_col).alias("s"), op_rank.alias("r"))
+        rank_sql = "0"
+    order_sql = f"struct(`{seq_col}` AS s, {rank_sql} AS r)"
 
     if salt_buckets <= 0:
         return (
-            df.groupBy(*key_cols)
-            .agg(F.max_by(payload, order).alias("__w"))
+            df.groupBy(*keys)
+            .agg(F.expr(f"max_by({payload_sql}, {order_sql}) AS __w"))
             .select("__w.*")
         )
+    payload = F.expr(payload_sql)
+    order = F.expr(order_sql)
 
     if hot_keys is not None:
         flagged = df.join(F.broadcast(hot_keys.select(*keys).distinct()),
@@ -97,7 +98,7 @@ def lww_reduce(
                        on=list(keys), how="leftanti")
         hot_reduced = _two_stage(flagged, keys, payload, order, salt_buckets)
         cold_reduced = (
-            cold.groupBy(*key_cols)
+            cold.groupBy(*keys)
             .agg(F.max_by(payload, order).alias("__w"))
             .select("__w.*")
         )
@@ -152,10 +153,10 @@ def merge_lww(
     ]
 
     # 1. Normalize batch rows to the target row shape (delete → tombstone).
-    batch_rows = batch.select(
-        *[F.col(c) for c in payload_cols],
-        F.col(seq_col).cast("long").alias(SEQ_COL),
-        (F.col(op_col) == F.lit("D")).alias(DELETED_COL),
+    batch_rows = batch.selectExpr(
+        *[f"`{c}`" for c in payload_cols],
+        f"CAST(`{seq_col}` AS BIGINT) AS `{SEQ_COL}`",
+        f"(`{op_col}` = 'D') AS `{DELETED_COL}`",
     )
 
     # 2. Bucket pruning: which table buckets do batch keys hash into?
@@ -239,10 +240,10 @@ def merge_lww_mor(
     payload_cols = [
         f.name for f in snap.schema.fields if f.name not in (SEQ_COL, DELETED_COL)
     ]
-    batch_rows = batch.select(
-        *[F.col(c) for c in payload_cols],
-        F.col(seq_col).cast("long").alias(SEQ_COL),
-        (F.col(op_col) == F.lit("D")).alias(DELETED_COL),
+    batch_rows = batch.selectExpr(
+        *[f"`{c}`" for c in payload_cols],
+        f"CAST(`{seq_col}` AS BIGINT) AS `{SEQ_COL}`",
+        f"(`{op_col}` = 'D') AS `{DELETED_COL}`",
     )
     if pre_reduce:
         batch_rows = lww_reduce(batch_rows, keys, SEQ_COL, salt_buckets,

@@ -194,9 +194,8 @@ def bucket_expr(bucket_cols: list[str], n_buckets: int):
     JVM-side expression — stays inside whole-stage codegen; the same
     expression plans the shuffle for MERGE so bucket co-location is free.
     """
-    return F.pmod(F.xxhash64(*[F.col(c) for c in bucket_cols]), F.lit(n_buckets)).cast(
-        "int"
-    )
+    cols = ", ".join(f"`{c}`" for c in bucket_cols)
+    return F.expr(f"CAST(pmod(xxhash64({cols}), {int(n_buckets)}) AS INT)")
 
 
 class LakeTable:
@@ -553,13 +552,16 @@ class LakeTable:
             elif op["op"] == "add":
                 added.add(op["col"])
             # widen: handled by the cast below
+        # SQL strings (selectExpr), not Columns: py4j round-trips per
+        # operator are serial driver cost (see Planner.batch_predicate)
         exprs = []
         for f_ in current.fields:
+            typ = f_.dataType.simpleString()
             if f_.name in added:
-                exprs.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+                exprs.append(f"CAST(NULL AS {typ}) AS `{f_.name}`")
             else:
                 src = renames.get(f_.name, f_.name)
-                exprs.append(F.col(src).cast(f_.dataType).alias(f_.name))
+                exprs.append(f"CAST(`{src}` AS {typ}) AS `{f_.name}`")
         return exprs
 
     def read(
@@ -624,7 +626,7 @@ class LakeTable:
         for sv, paths in sorted(by_sv.items()):
             df = self.spark.read.parquet(*paths)
             if sv != snap.schema_version:
-                df = df.select(*self._conform_exprs(snap, sv))
+                df = df.selectExpr(*self._conform_exprs(snap, sv))
             else:
                 df = df.select(*[F.col(f_.name) for f_ in snap.schema.fields])
             parts.append(df)

@@ -347,6 +347,8 @@ class SchemaRegistry:
         oldest = min(self.versions) if self.versions else from_v
         full_lineage = rename_lineage(oldest - 1 if oldest > 0 else 0)
         avail = set(available_cols)
+        # SQL strings (selectExpr), not Columns: py4j round-trips per
+        # operator are serial driver cost paid on every batch
         exprs = []
         for f_ in target.fields:
             candidates = [
@@ -355,10 +357,11 @@ class SchemaRegistry:
                 full_lineage.get(f_.name, f_.name),
             ]
             src = next((c for c in candidates if c in avail), None)
+            typ = f_.dataType.simpleString()
             if src is None:
-                exprs.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+                exprs.append(f"CAST(NULL AS {typ}) AS `{f_.name}`")
             else:
-                exprs.append(F.col(src).cast(f_.dataType).alias(f_.name))
+                exprs.append(f"CAST(`{src}` AS {typ}) AS `{f_.name}`")
         return exprs
 
 
@@ -391,16 +394,17 @@ class SchemaEvolutionConverter(Converter):
         ]
         parts = []
         for v in sorted(versions):
-            sub = df.filter(F.col(self.version_col) == v)
+            sub = df.filter(F.expr(f"`{self.version_col}` = {int(v)}"))
             exprs = self.registry.conform_exprs(int(v), to_v, df.columns)
-            parts.append(sub.select(
-                *[F.col(c) for c in passthrough], *exprs
+            parts.append(sub.selectExpr(
+                *[f"`{c}`" for c in passthrough], *exprs
             ))
         if not parts:
             target = self.registry.schema(to_v)
-            exprs = [F.lit(None).cast(f.dataType).alias(f.name)
-                     for f in target.fields]
-            return df.select(*[F.col(c) for c in passthrough], *exprs).limit(0)
+            exprs = [f"CAST(NULL AS {f.dataType.simpleString()})"
+                     f" AS `{f.name}`" for f in target.fields]
+            return df.selectExpr(
+                *[f"`{c}`" for c in passthrough], *exprs).limit(0)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
