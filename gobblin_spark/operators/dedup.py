@@ -98,15 +98,25 @@ def ngram_jaccard_pairs(
 
 
 # -------------------------------------------------------------- minhash LSH
-def minhash_signature_exprs(shingle_col, n_hashes: int) -> list:
+def minhash_signature_exprs(shingle_col, n_hashes: int,
+                            hash_fn: str = "md5") -> list:
     """n_hashes independent min-hashes: min over shingles of
-    md5("<i>:" || shingle) — lexicographic min over hex digests. Engine-
-    agnostic (replayable in any SQL dialect with md5)."""
+    hash("<i>:" || shingle).
+
+    hash_fn='md5' (default): lexicographic min over hex digests —
+    engine-agnostic, replayable in any SQL dialect with md5 (the oracle
+    tier). hash_fn='xxhash64': numeric min over 64-bit hashes — the
+    production tier; xxhash64 is a JVM intrinsic ~10x cheaper per shingle
+    than md5 with the same banding behavior."""
+    if hash_fn == "md5":
+        mk = lambda s, i: F.md5(F.concat(F.lit(f"{i}:"), s))  # noqa: E731
+    elif hash_fn == "xxhash64":
+        mk = lambda s, i: F.xxhash64(F.concat(F.lit(f"{i}:"), s))  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     return [
         F.array_min(
-            F.transform(
-                shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-            )
+            F.transform(shingle_col, lambda s, i=i: mk(s, i))
         ).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
@@ -120,6 +130,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
@@ -139,12 +150,14 @@ def minhash_lsh_pairs(
         shingles_expr(text_col, n).alias("__sh"),
     ).withColumn("__sh", F.when(F.size("__sh") > 0, F.col("__sh"))
                  .otherwise(F.array(F.lit(""))))
-    sig = s.select("__id", *minhash_signature_exprs(F.col("__sh"), n_hashes))
+    sig = s.select("__id", *minhash_signature_exprs(F.col("__sh"), n_hashes,
+                                                    hash_fn))
+    band_digest = F.md5 if hash_fn == "md5" else F.xxhash64
     band_keys = [
-        F.md5(
+        band_digest(
             F.concat_ws("|", F.lit(str(b)),
                         *[F.col(f"mh{b * rpb + j}") for j in range(rpb)])
-        ).alias(f"band{b}")
+        ).cast("string").alias(f"band{b}")
         for b in range(bands)
     ]
     # Physical shape matters at scale: the band self-join and pair-dedup

@@ -246,3 +246,32 @@ def test_mor_pre_reduce_shrinks_delta_same_state(spark, tmp_table_dir):
     a = read_current(t_raw).select("repo", "path", "content")
     b = read_current(t_red).select("repo", "path", "content")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_minhash_xxhash64_variant_matches_md5_pairs(spark):
+    """hash_fn='xxhash64' (production tier: JVM-intrinsic hashing, ~10x
+    cheaper per shingle than the md5 oracle tier) verifies the same pairs:
+    candidates differ only by hash family, and exact-Jaccard verification
+    makes the output hash-agnostic wherever recall overlaps — exact
+    duplicates collide in every band under any hash."""
+    from gobblin_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "pack my box with five dozen liquor jugs for the long trip"),
+        (4, "pack my box with five dozen liquor jugs for the long trip"),
+        (5, "completely unrelated text about parquet column statistics"),
+    ]
+    df = spark.createDataFrame(docs, "id int, body string")
+    got_md5 = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "id", "body",
+                                   threshold=0.9).collect()
+    }
+    got_xx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "id", "body", threshold=0.9,
+                                   hash_fn="xxhash64").collect()
+    }
+    assert got_md5 == got_xx == {(1, 2), (3, 4)}
