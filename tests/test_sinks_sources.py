@@ -223,3 +223,137 @@ def test_fork_to_multiple_writers_end_to_end(spark, tmp_table_dir, sf_dir):
     assert spark.read.parquet(out_parquet).count() == n_clicks
     assert spark.read.json(out_json).count() == n_hv
     assert spark.read.text(out_text).count() == ev.count()
+
+
+# ------------------------------------------------ jdbc pull → engine e2e
+def test_jdbc_incremental_pull_end_to_end(spark, tmp_table_dir):
+    """QueryBasedSource feeding the job launcher end-to-end
+    (≙ QueryBasedSource.getWorkunits + AbstractJobLauncher.launchJob):
+    two pulls with advancing current_time — run 2's pull range starts at
+    run 1's committed high watermark + 1s (disjoint, nothing re-read), the
+    final table equals a full DuckDB replay, and the per-run watermark
+    lineage is persisted."""
+    import functools
+    from datetime import datetime
+
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import read_current
+    from gobblin_spark.plans.time_partition import dt_to_wm
+    from gobblin_spark.sources.change_events import generate_change_events
+    from gobblin_spark.sources.jdbc import (
+        JdbcIncrementalSource,
+        PullWatermarkStore,
+        incremental_pull,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    # the "database table": change events with an updated_at bump column
+    db_path = os.path.join(tmp_table_dir, "dbtable")
+    ev = generate_change_events(
+        spark, 4000, n_repos=20, paths_per_repo=100, ooo_window=200
+    ).withColumn(
+        "updated_at",
+        F.expr("timestamp'2014-01-01 00:00:00' + make_dt_interval(0,0,0,seq)"),
+    )
+    ev.write.mode("overwrite").parquet(db_path)
+    db = spark.read.parquet(db_path)
+
+    def load_fn(s, preds):
+        return functools.reduce(
+            lambda a, b: a.unionAll(b), [db.filter(p) for p in preds]
+        )
+
+    src = JdbcIncrementalSource(
+        url="jdbc:void", table="t", watermark_column="updated_at",
+        partition_interval=1, max_partitions=8,
+        start_value=dt_to_wm(datetime(2014, 1, 1, 0, 0, 0)), load_fn=load_fn,
+    )
+    table_root = os.path.join(tmp_table_dir, "table")
+    state_root = os.path.join(tmp_table_dir, "state")
+
+    r1 = incremental_pull(
+        spark, src, table_root, state_root,
+        current_time=datetime(2014, 1, 1, 0, 40, 0),
+        max_records_per_batch=2000,
+    )
+    assert r1["batches"] >= 1 and r1["events_applied"] > 0
+    t = LakeTable(spark, table_root)
+    got1 = read_current(t).select("repo", "path", "commit", "lang", "content")
+    assert_matches_oracle(
+        got1, db.filter("updated_at <= timestamp'2014-01-01 00:40:00'"))
+
+    r2 = incremental_pull(
+        spark, src, table_root, state_root,
+        current_time=datetime(2014, 1, 1, 3, 0, 0),
+        max_records_per_batch=2000,
+    )
+    # resume: run 2's low bound = run 1's committed high + 1s
+    assert r2["pull_predicates"][0].startswith(
+        "updated_at >= '2014-01-01 00:40:01'")
+    got2 = read_current(t).select("repo", "path", "commit", "lang", "content")
+    assert_matches_oracle(got2, db)
+
+    runs = PullWatermarkStore(state_root).runs()
+    assert [r["run_id"] for r in runs] == [r1["run_id"], r2["run_id"]]
+    # exactly-once at the pull level: the two runs' predicate ranges are
+    # disjoint and together cover the source table exactly once
+    pulled = sum(load_fn(spark, r["predicates"]).count() for r in runs)
+    assert pulled == db.count()
+
+
+def test_jdbc_pull_crash_before_watermark_commit_is_idempotent(
+        spark, tmp_table_dir):
+    """Crash window between the engine's batch commit and the source
+    watermark commit: the retry re-pulls the SAME range, and the engine's
+    seq watermarks skip every already-applied event — zero new batches,
+    table version unchanged (the exactly-once contract across the two
+    uncoordinated checkpoints)."""
+    import functools
+    from datetime import datetime
+
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.plans.time_partition import dt_to_wm
+    from gobblin_spark.sources.change_events import generate_change_events
+    from gobblin_spark.sources.jdbc import (
+        JdbcIncrementalSource,
+        incremental_pull,
+    )
+
+    db_path = os.path.join(tmp_table_dir, "dbtable")
+    generate_change_events(
+        spark, 1500, n_repos=10, paths_per_repo=50, ooo_window=100
+    ).withColumn(
+        "updated_at",
+        F.expr("timestamp'2014-01-01 00:00:00' + make_dt_interval(0,0,0,seq)"),
+    ).write.mode("overwrite").parquet(db_path)
+    db = spark.read.parquet(db_path)
+
+    def load_fn(s, preds):
+        return functools.reduce(
+            lambda a, b: a.unionAll(b), [db.filter(p) for p in preds]
+        )
+
+    src = JdbcIncrementalSource(
+        url="jdbc:void", table="t", watermark_column="updated_at",
+        partition_interval=1, max_partitions=8,
+        start_value=dt_to_wm(datetime(2014, 1, 1, 0, 0, 0)), load_fn=load_fn,
+    )
+    table_root = os.path.join(tmp_table_dir, "table")
+    state_root = os.path.join(tmp_table_dir, "state")
+    cutoff = datetime(2014, 1, 1, 1, 0, 0)
+
+    # run 1 "crashes" after the engine's commits, before wstore.commit:
+    # drive the engine directly and never persist the source watermark
+    eng = CdcEngine(spark, src.read(spark, None, cutoff),
+                    table_root=table_root, state_root=state_root,
+                    max_records_per_batch=5000)
+    applied = eng.run_until_caught_up()
+    assert applied and sum(r.rows_read for r in applied) > 0
+    v1 = eng.table.current_version()
+
+    # retry re-pulls the same range; everything is already applied
+    r = incremental_pull(spark, src, table_root, state_root,
+                         current_time=cutoff, max_records_per_batch=5000)
+    assert r["batches"] == 0 and r["events_applied"] == 0
+    assert LakeTable(spark, table_root).current_version() == v1
