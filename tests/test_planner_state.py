@@ -2,6 +2,8 @@
 (≙ SimpleWatermarkTest / KafkaSourceTest / AbstractSourceTest /
 FsDatasetStateStoreTest in the reference's unit tier)."""
 
+import os
+
 import pyspark.sql.functions as F
 
 from gobblin_spark.plans.planner import BatchPlan, Planner, WorkUnit, bin_pack_wfd
@@ -238,3 +240,58 @@ def test_bins_drive_balanced_extract_partitions(spark, tmp_table_dir):
     # giant group = 9000 rows; balanced bins keep every partition far below
     assert max(sizes) < 3000, sizes
     assert sum(sizes) == 10_000
+
+
+def test_engine_bin_partitioning_balances_skewed_extract(spark, tmp_table_dir):
+    """Engine-level proof the WFD bins reach execution: with a per-row
+    stage present (converter chain), run_batch repartitions the extract by
+    bin assignment, so a 90%-skewed group arrives at the converters as
+    balanced physical partitions — not one giant partition."""
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.operators.converters import Converter, ConverterChain
+
+    seen: dict[str, list[int]] = {}
+
+    class PartitionProbe(Converter):
+        def convert(self, df):
+            seen["sizes"] = [
+                r["cnt"]
+                for r in df.groupBy(F.spark_partition_id().alias("p"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            ]
+            return df
+
+    n = 20_000
+    events = spark.range(n).select(
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % 10 < 9, 0)
+        .otherwise((F.col("id") % 3 + 1)).cast("int").alias("event_group"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("repo_"), (F.col("id") % 50).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), (F.col("id") % 500).cast("string")).alias("path"),
+        F.lit("c0ffee").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.lit("body").alias("content"),
+        F.lit(1).cast("int").alias("schema_version"),
+    )
+    eng = CdcEngine(
+        spark,
+        events,
+        table_root=os.path.join(tmp_table_dir, "table"),
+        state_root=os.path.join(tmp_table_dir, "state"),
+        max_records_per_batch=100_000,
+        max_records_per_unit=1_000,
+        target_bins=8,
+        n_buckets=8,
+        converters=ConverterChain([PartitionProbe()]),
+    )
+    r = eng.run_batch()
+    assert r.committed and r.rows_read == n
+    sizes = seen["sizes"]
+    # group 0 alone is 18k rows; bin-balanced partitions stay far below
+    assert max(sizes) < 6_000, sizes
+    assert sum(sizes) == n
+    # and the merge result is still correct: one row per live key
+    assert eng.current_state().count() == \
+        events.select("repo", "path").distinct().count()
