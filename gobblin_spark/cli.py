@@ -147,6 +147,41 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_pull(args) -> int:
+    """Query-based incremental pull: watermark-partitioned pushdown
+    predicates against an external JDBC table, composed with the CDC batch
+    loop (≙ the reference's QueryBasedSource jobs configured with
+    source.querybased.* properties). The source high watermark persists
+    under --state; rerunning resumes from committed-high + 1s."""
+    from datetime import datetime, timezone
+
+    from gobblin_spark.plans.time_partition import ExtractType, WatermarkType
+    from gobblin_spark.sources.jdbc import JdbcIncrementalSource, incremental_pull
+
+    spark = _get_session(args)
+    src = JdbcIncrementalSource(
+        url=args.url,
+        table=args.source_table,
+        watermark_column=args.watermark_column,
+        watermark_type=WatermarkType(args.watermark_type),
+        extract_type=ExtractType(args.extract_type),
+        partition_interval=args.partition_interval,
+        max_partitions=args.max_partitions,
+        start_value=args.start_value,
+        properties=dict(kv.split("=", 1) for kv in (args.jdbc_property or [])),
+    )
+    now = (datetime.strptime(args.current_time, "%Y-%m-%d %H:%M:%S")
+           if args.current_time else datetime.now(timezone.utc).replace(tzinfo=None))
+    out = incremental_pull(
+        spark, src, table_root=args.table, state_root=args.state,
+        current_time=now, max_batches=args.max_batches,
+        max_records_per_batch=args.max_records_per_batch,
+        merge_mode=args.merge_mode, compact_every=args.compact_every,
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     from gobblin_spark.lakehouse import LakeTable
 
@@ -196,6 +231,35 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--compact-every", type=int, default=8)
     tl.add_argument("--local-cores", type=int, default=0)
 
+    pl = sub.add_parser(
+        "pull", help="incremental JDBC pull: watermark-partitioned pushdown "
+                     "queries against an external table, then the batch loop")
+    pl.add_argument("--url", required=True, help="jdbc:… connection url")
+    pl.add_argument("--source-table", required=True)
+    pl.add_argument("--table", required=True, help="target LakeTable root")
+    pl.add_argument("--state", required=True)
+    pl.add_argument("--watermark-column", required=True)
+    pl.add_argument("--watermark-type", default="timestamp",
+                    choices=["simple", "timestamp", "date", "hour"])
+    pl.add_argument("--extract-type", default="snapshot",
+                    choices=["snapshot", "append_daily", "append_hourly"])
+    pl.add_argument("--partition-interval", type=int, default=1,
+                    help="hours per pull partition (days for append_daily)")
+    pl.add_argument("--max-partitions", type=int, default=32)
+    pl.add_argument("--start-value", type=int, default=None,
+                    help="first-run low watermark as yyyyMMddHHmmss "
+                         "(or plain number for simple)")
+    pl.add_argument("--current-time", default=None,
+                    help="override 'now' (yyyy-MM-dd HH:mm:ss, for "
+                         "deterministic replans); default wall clock UTC")
+    pl.add_argument("--jdbc-property", action="append", default=[],
+                    help="k=v passed to the JDBC driver (repeatable)")
+    pl.add_argument("--max-records-per-batch", type=int, default=2_000_000)
+    pl.add_argument("--max-batches", type=int, default=1000)
+    pl.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    pl.add_argument("--compact-every", type=int, default=8)
+    pl.add_argument("--local-cores", type=int, default=0)
+
     st = sub.add_parser("status", help="print watermarks + pending batches")
     st.add_argument("--state", required=True)
 
@@ -209,8 +273,9 @@ def main(argv: list[str] | None = None) -> int:
     vac.add_argument("--local-cores", type=int, default=0)
 
     args = p.parse_args(argv)
-    return {"ingest": cmd_ingest, "tail": cmd_tail, "status": cmd_status,
-            "compact": cmd_compact, "vacuum": cmd_vacuum}[args.cmd](args)
+    return {"ingest": cmd_ingest, "tail": cmd_tail, "pull": cmd_pull,
+            "status": cmd_status, "compact": cmd_compact,
+            "vacuum": cmd_vacuum}[args.cmd](args)
 
 
 if __name__ == "__main__":
