@@ -727,6 +727,75 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the third ANN tier. Codebook =
+    16 md5-sampled vectors; every embedding is assigned to its nearest
+    centroid map-side (codebook constant-folded — zero shuffle), queries
+    probe their 4 nearest lists, candidates re-ranked by integer-quantized
+    exact cosine. Fully oracle-gated: DuckDB replays codebook selection,
+    assignment argmax, probe lists, and the final ranking bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    from gobblin_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, n_centroids=16,
+                    n_probe=4).orderBy("query_id", "rank")
+
+
+def _duck_ivf_topk_sql(n_centroids: int = 16, n_probe: int = 4,
+                       k: int = 10) -> str:
+    """Independent replay of ivf_topk: identical md5-sampled codebook,
+    integer-quantized (exact) cosines, argmax assignment with (cos desc,
+    cid asc) tie-break, probe lists, and final re-rank."""
+    return f"""
+WITH qe AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * 1000000 + 0.5)) AS qv
+  FROM embeddings),
+qn AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n FROM qe),
+cents AS (
+  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid, qv AS cv,
+         n AS cn
+  FROM (SELECT vec_id, qv, n, md5(CAST(vec_id AS VARCHAR)) AS hk
+        FROM qn ORDER BY hk, vec_id LIMIT {n_centroids})),
+acos AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.qv, c.cv) / (sqrt(e.n) * sqrt(c.cn)) AS cos
+  FROM qn e, cents c),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid ASC) AS rn
+    FROM acos) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid ASC) AS rn
+    FROM acos WHERE vec_id < 5) WHERE rn <= {n_probe}),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assigned a JOIN probes p ON a.cid = p.cid),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(dv.qv, qv2.qv) /
+               (sqrt(dv.n) * sqrt(qv2.n)), 6) AS cosine
+  FROM cand c
+  JOIN qn dv ON dv.vec_id = c.vec_id
+  JOIN qn qv2 ON qv2.vec_id = c.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish subword estimate +
     mean word length + punctuation ratio."""
@@ -1005,6 +1074,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
     "text_token_stats": q_text_token_stats,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -1037,6 +1107,7 @@ def oracle_sqls() -> dict[str, str]:
         "embedding_neardup": SQL_EMB_NEARDUP,
         "similarity_topk": SQL_SIM_TOPK,
         "similarity_lsh_topk": _duck_lsh_topk_sql(),
+        "similarity_ivf_topk": _duck_ivf_topk_sql(),
         "text_token_stats": SQL_TOKEN_STATS,
         "text_langid": _duck_langid_sql(),
         "text_fingerprint": SQL_FINGERPRINT,

@@ -12,7 +12,12 @@ from gobblin_spark.lakehouse.merge import (
     read_current,
 )
 from gobblin_spark.operators.dedup import simhash_dedup
-from gobblin_spark.operators.similarity import brute_force_topk, lsh_topk
+from gobblin_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    select_centroids,
+)
 from gobblin_spark.engine import target_schema_for, default_registry, KEYS
 
 
@@ -38,6 +43,45 @@ def test_lsh_topk_recall_vs_exact(spark, sf_dir):
     # closer than random vectors. Mechanism correctness is the self-hit
     # above; recall here just bounds the cost/recall dial sanity.
     assert recall >= 0.25, f"LSH recall too low: {recall:.2f}"
+
+
+def test_ivf_topk_recall_and_partition(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    hits = exact.join(approx.select("query_id", "vec_id"),
+                      ["query_id", "vec_id"]).count()
+    recall = hits / exact.count()
+    # self-vector is in its own probe list by construction → must rank #1
+    self_hits = approx.filter(
+        (F.col("rank") == 1) & (F.col("query_id") == F.col("vec_id"))
+    ).count()
+    assert self_hits == queries.count()
+    # uniform-random embeddings are IVF's adversarial case too; probing
+    # 4/16 lists should still beat the 25% random-partition floor
+    assert recall >= 0.25, f"IVF recall too low: {recall:.2f}"
+    # probing every list makes IVF exhaustive → must equal brute force
+    full = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=16)
+    assert (
+        full.select("query_id", "vec_id")
+        .exceptAll(exact.select("query_id", "vec_id"))
+        .count()
+        == 0
+    )
+
+
+def test_ivf_centroid_selection_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = select_centroids(emb, "vec_id", "embedding", 8)
+    b = select_centroids(emb, "vec_id", "embedding", 8)
+    assert a == b
+    assert len(a) == 8
+    # codebook must be quantized ints with positive self-dots
+    assert all(isinstance(v, int) for _, qv, _ in a for v in qv)
+    assert all(n > 0 for _, _, n in a)
 
 
 def test_simhash_dedup_hamming_bound(spark, sf_dir):
