@@ -334,3 +334,107 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# -------------------------------------------------- near-dup cluster assign
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: returns
+    ``(node, component)`` for every node appearing in ``pairs``, where
+    ``component`` is the minimum node id reachable from it.
+
+    This is the cluster-assignment step real training pipelines run after
+    LSH pairing — near-dup dedup keeps ONE representative per connected
+    cluster (here: the min id, so ``node == component`` marks the kept doc),
+    not one per pair.
+
+    Algorithm: min-label propagation with pointer jumping. Each round does
+    (1) label(v) := min(label(v), min over neighbors u of label(u)) — one
+    shuffle on the edge key — and (2) label(v) := label(label(v)) — one
+    self-join that halves the remaining pointer depth, so convergence is
+    O(log(max component diameter)) rounds, not O(diameter). Every round
+    the label frontier is localCheckpoint()ed to cut the iterative plan
+    lineage (a growing lineage otherwise re-executes all prior rounds on
+    every action). Convergence is detected by the sum of labels — the label
+    vector is component-wise non-increasing, so an unchanged sum means a
+    fixpoint; that is one tiny aggregate per round instead of a full
+    old-vs-new anti-join.
+
+    Near-dup graphs at 100 TB: edges come pre-bucketed from LSH (O(n·bands)
+    rows, not O(n²)); each round is two key-partitioned shuffles over the
+    current labels; component count never matters, only the log of the
+    largest cluster's diameter (typically ≤ 3 rounds in practice).
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # initial label: min(self, min neighbor)
+    lbl = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u"), F.least(F.col("u"), F.col("mn")).alias("l"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        # (1) neighbor-min propagation
+        nb = (
+            edges.join(
+                lbl.select(F.col("u").alias("v"), F.col("l").alias("lv")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("lv").alias("nl"))
+        )
+        stepped = (
+            lbl.join(nb, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("l"), F.coalesce(F.col("nl"), F.col("l")))
+                .alias("l"),
+            )
+        )
+        # (2) pointer jump: l(u) := l(l(u))
+        jump = stepped.select(F.col("u").alias("l"), F.col("l").alias("ll"))
+        lbl = (
+            stepped.join(jump, "l", "left")
+            .select(
+                "u",
+                F.least(F.col("l"), F.coalesce(F.col("ll"), F.col("l")))
+                .alias("l"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = lbl.agg(F.sum("l")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return lbl.select(F.col("u").alias("node"), F.col("l").alias("component"))
+
+
+def neardup_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Cluster assignment for near-dup dedup: (doc_id, component,
+    cluster_size, is_kept) for every node in the pair graph; the kept
+    representative per cluster is the min id (is_kept = true)."""
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component"),
+            F.col("cluster_size"),
+            (F.col("node") == F.col("component")).alias("is_kept"),
+        )
+    )

@@ -114,3 +114,108 @@ def fingerprint(text_col, n: int = 3):
     sketch = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     return F.struct(F.md5(norm).alias("exact"),
                     F.coalesce(sketch, F.md5(norm)).alias("sketch"))
+
+
+def token_repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition/boilerplate signals per document:
+
+    - ``top_token_frac``   — occurrences of the most frequent token / total
+      tokens (high → degenerate keyword spam)
+    - ``top_bigram_frac``  — same for word bigrams (high → boilerplate)
+    - ``distinct_token_ratio`` — distinct / total tokens (low → repetitive)
+
+    Scale shape: one explode + two-level aggregate per signal — the
+    per-(doc, token) count is a key-partitioned shuffle that grows linearly
+    with corpus size (map-side combine applies), never a per-document
+    quadratic pass; both signals then fold back with one aggregate on the
+    doc key. All JVM expressions, no Python in the path.
+    """
+    import pyspark.sql.functions as F
+
+    base = df.select(F.col(id_col).alias("__id"),
+                     tokens(text_col).alias("__toks"))
+    toks = base.select("__id", F.explode("__toks").alias("tok"))
+    tok_counts = toks.groupBy("__id", "tok").agg(F.count("*").alias("c"))
+    tok_stats = tok_counts.groupBy("__id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total"),
+        F.count("*").alias("distinct_c"),
+    )
+    bi = base.select(
+        "__id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__toks"), 1,
+                        F.greatest(F.size("__toks") - 1, F.lit(0))),
+                F.slice(F.col("__toks"), 2,
+                        F.greatest(F.size("__toks") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    bg_counts = bi.groupBy("__id", "bg").agg(F.count("*").alias("c"))
+    bg_stats = bg_counts.groupBy("__id").agg(
+        F.max("c").alias("bg_top_c"), F.sum("c").alias("bg_total")
+    )
+    return (
+        base.select("__id")
+        .join(tok_stats, "__id", "left")
+        .join(bg_stats, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.when(F.col("total") > 0,
+                       F.col("top_c").cast("double") / F.col("total"))
+                .otherwise(0.0), 6).alias("top_token_frac"),
+            F.round(
+                F.when(F.col("bg_total") > 0,
+                       F.col("bg_top_c").cast("double") / F.col("bg_total"))
+                .otherwise(0.0), 6).alias("top_bigram_frac"),
+            F.round(
+                F.when(F.col("total") > 0,
+                       F.col("distinct_c").cast("double") / F.col("total"))
+                .otherwise(0.0), 6).alias("distinct_token_ratio"),
+        )
+    )
+
+
+# PII scrubbing: redact emails / URLs / IPv4s with typed placeholder tokens.
+# RE2-portable patterns (no lookarounds) so DuckDB's regexp_replace replays
+# them exactly. Order matters: URLs before emails would still be safe here,
+# but emails are scrubbed first so 'http://x/a@b' style paths keep the URL
+# placeholder semantics; IPv4 last so it never eats a URL host redaction.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(text_col):
+    """Redacted text: every email / URL / IPv4 replaced by its placeholder.
+    Pure JVM regexp_replace chain — stays in whole-stage codegen."""
+    import pyspark.sql.functions as F
+
+    t = text_col if not isinstance(text_col, str) else F.col(text_col)
+    out = t
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text_col):
+    """struct(n_email, n_url, n_ipv4): how many redactions pii_scrub would
+    make — counted on the same progressively-scrubbed text so the counts
+    sum to the total number of placeholders in the output."""
+    import pyspark.sql.functions as F
+
+    t = text_col if not isinstance(text_col, str) else F.col(text_col)
+    fields = []
+    cur = t
+    for name, pat, repl in PII_PATTERNS:
+        fields.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            .cast("long").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return F.struct(*fields)

@@ -540,7 +540,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_minhash_sql(n_hashes: int = 12, bands: int = 4,
-                      threshold: float = 0.1) -> str:
+                      threshold: float = 0.1, order_by: bool = True) -> str:
     rpb = n_hashes // bands
     mh_cols = ", ".join(
         f"list_aggregate(list_transform(sh, x -> md5('{i}:' || x)), 'min') AS mh{i}"
@@ -571,7 +571,7 @@ FROM cand
 WHERE len(list_distinct(list_concat(sh_a, sh_b))) > 0
   AND CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
       CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= {threshold}
-ORDER BY id_a, id_b
+{"ORDER BY id_a, id_b" if order_by else ""}
 """
 
 
@@ -1049,6 +1049,159 @@ FROM f ORDER BY doc_id, dim_idx
 """
 
 
+def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: MinHash-LSH pairs → connected components
+    → one kept representative (min doc_id) per cluster. This is the step
+    real training pipelines run after pairing — dedup keeps one doc per
+    connected cluster, not one per pair. Components via min-label
+    propagation + pointer jumping (O(log diameter) rounds, two
+    key-partitioned shuffles per round)."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.dedup import minhash_lsh_pairs, neardup_clusters
+
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, n_hashes=12, bands=4, threshold=0.1
+    )
+    return neardup_clusters(pairs).orderBy("doc_id")
+
+
+def _duck_cluster_sql() -> str:
+    """Recursive-CTE oracle: reachability closure over the same MinHash-LSH
+    pair graph, component = min reachable id."""
+    pairs = _duck_minhash_sql(order_by=False)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       FROM comp GROUP BY component)
+SELECT comp.id AS doc_id, comp.component, sz.cluster_size,
+       comp.id = comp.component AS is_kept
+FROM comp JOIN sz USING (component)
+ORDER BY doc_id
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate quality signals per document."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.text import token_repetition_stats
+
+    return token_repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+SQL_TEXT_REPETITION = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS toks
+  FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+ts AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total,
+              COUNT(*) AS distinct_c
+       FROM tc GROUP BY doc_id),
+bg0 AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 2 THEN
+                 [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+               ELSE [] END AS bgs
+        FROM toks),
+b AS (SELECT doc_id, unnest(bgs) AS bg FROM bg0),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+bs AS (SELECT doc_id, MAX(c) AS bg_top_c, SUM(c) AS bg_total
+       FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+       round(CASE WHEN ts.total > 0
+                  THEN CAST(ts.top_c AS DOUBLE) / ts.total ELSE 0.0 END, 6)
+         AS top_token_frac,
+       round(CASE WHEN bs.bg_total > 0
+                  THEN CAST(bs.bg_top_c AS DOUBLE) / bs.bg_total
+                  ELSE 0.0 END, 6) AS top_bigram_frac,
+       round(CASE WHEN ts.total > 0
+                  THEN CAST(ts.distinct_c AS DOUBLE) / ts.total
+                  ELSE 0.0 END, 6) AS distinct_token_ratio
+FROM documents d
+LEFT JOIN ts ON ts.doc_id = d.doc_id
+LEFT JOIN bs ON bs.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents: redact emails/URLs/IPv4s with typed
+    placeholders, count redactions per kind. The synthetic corpus contains
+    no PII, so a deterministic contact line (derived from doc_id — same
+    formula in the oracle) is appended first to exercise every pattern; the
+    output hashes the scrubbed text so the oracle verifies the exact
+    redacted bytes, not just the counts."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.text import pii_counts, pii_scrub
+
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id"),
+            F.lit("@example.com via http://ex.org/d/"),
+            F.col("doc_id"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    c = pii_counts(F.col("t"))
+    return (
+        salted.select(
+            "doc_id",
+            c["n_email"].alias("n_email"),
+            c["n_url"].alias("n_url"),
+            c["n_ipv4"].alias("n_ipv4"),
+            F.md5(pii_scrub(F.col("t"))).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEXT_PII = r"""
+WITH s AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id ||
+         '@example.com via http://ex.org/d/' || doc_id ||
+         ' from 10.0.' || (doc_id % 256) || '.7' AS t
+  FROM documents),
+p1 AS (SELECT doc_id, t,
+              len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS n_email,
+              regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t1
+       FROM s),
+p2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t1, 'https?://[^\s]+')) AS n_url,
+              regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2
+       FROM p1),
+p3 AS (SELECT doc_id, n_email, n_url,
+              len(regexp_extract_all(t2,
+                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+              regexp_replace(t2, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                             '<IP>', 'g') AS t3
+       FROM p2)
+SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_url AS BIGINT) AS n_url, CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       md5(t3) AS scrubbed_md5
+FROM p3 ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1071,6 +1224,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_cluster_assign": q_dedup_cluster_assign,
     "embedding_neardup": q_embedding_neardup,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
@@ -1079,6 +1233,8 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_quality_score": q_text_quality_score,
+    "text_repetition": q_text_repetition,
+    "text_pii_scrub": q_text_pii_scrub,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_media_frame_sample,
     "media_features": q_media_features,
@@ -1104,6 +1260,7 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": _duck_minhash_sql(),
         "dedup_simhash": SQL_SIMHASH,
+        "dedup_cluster_assign": _duck_cluster_sql(),
         "embedding_neardup": SQL_EMB_NEARDUP,
         "similarity_topk": SQL_SIM_TOPK,
         "similarity_lsh_topk": _duck_lsh_topk_sql(),
@@ -1112,6 +1269,8 @@ def oracle_sqls() -> dict[str, str]:
         "text_langid": _duck_langid_sql(),
         "text_fingerprint": SQL_FINGERPRINT,
         "text_quality_score": _duck_quality_sql(),
+        "text_repetition": SQL_TEXT_REPETITION,
+        "text_pii_scrub": SQL_TEXT_PII,
         "media_metadata": SQL_MEDIA_METADATA,
         "media_frame_sample": SQL_MEDIA_FRAMES,
         "media_features": SQL_MEDIA_FEATURES,

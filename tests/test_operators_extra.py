@@ -319,3 +319,83 @@ def test_minhash_xxhash64_variant_matches_md5_pairs(spark):
                                    hash_fn="xxhash64").collect()
     }
     assert got_md5 == got_xx == {(1, 2), (3, 4)}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A long chain (forces pointer jumping past 1-hop propagation), a
+    triangle, and an isolated pair must resolve to min-id components."""
+    from gobblin_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-...-9, triangle 20-21-22 (+ redundant edge), pair 30-31
+    edges = [(i, i + 1) for i in range(1, 9)]
+    edges += [(20, 21), (21, 22), (20, 22), (30, 31)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    for n in range(1, 10):
+        assert got[n] == 1
+    for n in (20, 21, 22):
+        assert got[n] == 20
+    assert got[30] == 30 and got[31] == 30
+
+
+def test_neardup_clusters_keeps_one_rep(spark):
+    from gobblin_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 7), (7, 9), (2, 3)], ["id_a", "id_b"]
+    )
+    rows = {r["doc_id"]: r for r in neardup_clusters(pairs).collect()}
+    assert rows[5]["is_kept"] and rows[5]["cluster_size"] == 3
+    assert not rows[7]["is_kept"] and rows[7]["component"] == 5
+    assert rows[2]["is_kept"] and rows[2]["cluster_size"] == 2
+    kept = [r for r in rows.values() if r["is_kept"]]
+    assert len(kept) == 2  # exactly one representative per cluster
+
+
+def test_token_repetition_stats_edges(spark):
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.operators.text import token_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # one token repeated: top frac 1.0
+            (2, "x y z w"),            # all distinct
+            (3, ""),                   # empty
+            (4, "p q p q p q"),        # bigram 'p q' dominates
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in token_repetition_stats(
+        df, "doc_id", "text").collect()}
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[1]["distinct_token_ratio"] == 0.25
+    assert got[2]["top_token_frac"] == 0.25
+    assert got[2]["distinct_token_ratio"] == 1.0
+    assert got[3]["top_token_frac"] == 0.0
+    assert got[3]["distinct_token_ratio"] == 0.0
+    assert got[4]["top_bigram_frac"] == 0.6  # 'p q' 3 of 5 bigrams
+    assert len(got) == 4  # empty doc still present (left joins)
+
+
+def test_pii_scrub_and_counts(spark):
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.operators.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-am.ple.org or http://h.io/p?q=1 at 192.168.0.1 "
+             "and 10.1.2.3; plain text stays")],
+        ["id", "t"],
+    )
+    row = df.select(
+        pii_scrub(F.col("t")).alias("s"), pii_counts(F.col("t")).alias("c")
+    ).collect()[0]
+    assert row["s"] == ("mail <EMAIL> or <URL> at <IP> and <IP>; "
+                        "plain text stays")
+    assert row["c"]["n_email"] == 1
+    assert row["c"]["n_url"] == 1
+    assert row["c"]["n_ipv4"] == 2
