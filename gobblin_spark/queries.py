@@ -1202,6 +1202,43 @@ FROM p3 ORDER BY doc_id
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity sessions over the events table (8 h inactivity
+    gap): one shuffle on user_id, lag + running-sum window, per-session
+    aggregate. Streaming twin (applyInPandasWithState) in
+    gobblin_spark.streaming.sessions, pytest-verified against this batch
+    semantics."""
+    ev = load(spark, sf_dir, "events")
+    from gobblin_spark.operators.sessions import session_stats
+
+    return session_stats(ev, "user_id", "ts", gap_seconds=28800).orderBy(
+        "user_id", "session_idx"
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 28800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+         AS duration_sec
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1220,6 +1257,7 @@ QUERIES = {
     "quality_row_policies": q_quality_row_policies,
     "fork_branch_counts": q_fork_branch_counts,
     "rollup_hourly": q_rollup_hourly,
+    "events_sessionize": q_events_sessionize,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1256,6 +1294,7 @@ def oracle_sqls() -> dict[str, str]:
         "quality_row_policies": SQL_QUALITY,
         "fork_branch_counts": SQL_FORK,
         "rollup_hourly": SQL_ROLLUP,
+        "events_sessionize": SQL_SESSIONIZE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": _duck_minhash_sql(),

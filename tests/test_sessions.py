@@ -1,0 +1,123 @@
+"""Sessionization: batch window semantics + the streaming stateful twin
+(applyInPandasWithState) must agree on closed sessions."""
+
+import datetime as dt
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _ts(day, h, m=0, s=0):
+    return dt.datetime(2024, 1, day, h, m, s)
+
+
+def test_batch_sessionize_gap_rule(spark):
+    from gobblin_spark.operators.sessions import session_stats, sessionize
+
+    rows = [
+        # user 1: two sessions (gap of 3h > 1h threshold)
+        (1, _ts(1, 9, 0)), (1, _ts(1, 9, 30)), (1, _ts(1, 10, 15)),
+        (1, _ts(1, 14, 0)), (1, _ts(1, 14, 20)),
+        # user 2: single event = single session
+        (2, _ts(1, 12, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    s = sessionize(df, "user_id", "ts", gap_seconds=3600)
+    got = {(r["user_id"], r["ts"]): r["session_idx"] for r in s.collect()}
+    assert got[(1, _ts(1, 9, 0))] == 1
+    assert got[(1, _ts(1, 10, 15))] == 1
+    assert got[(1, _ts(1, 14, 0))] == 2
+    assert got[(2, _ts(1, 12, 0))] == 1
+
+    stats = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_stats(df, "user_id", "ts", gap_seconds=3600).collect()
+    }
+    assert stats[(1, 1)]["n_events"] == 3
+    assert stats[(1, 1)]["duration_sec"] == 75 * 60
+    assert stats[(1, 2)]["n_events"] == 2
+    assert stats[(2, 1)]["duration_sec"] == 0
+
+
+def test_batch_sessionize_microsecond_boundary(spark):
+    """Gap exactly == threshold stays one session; threshold + 1 µs splits."""
+    from gobblin_spark.operators.sessions import sessionize
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    exact = base + dt.timedelta(seconds=3600)
+    over = base + dt.timedelta(seconds=3600, microseconds=1)
+    df = spark.createDataFrame(
+        [(1, base), (1, exact), (2, base), (2, over)], ["user_id", "ts"]
+    )
+    got = {
+        (r["user_id"], r["ts"]): r["session_idx"]
+        for r in sessionize(df, "user_id", "ts", gap_seconds=3600).collect()
+    }
+    assert got[(1, exact)] == 1      # == gap: same session
+    assert got[(2, over)] == 2       # > gap by 1 µs: new session
+
+
+def test_streaming_sessionize_matches_batch_closed_sessions(
+    spark, tmp_table_dir
+):
+    """Drive the stateful operator through a real availableNow stream; the
+    emitted (closed) sessions must equal the batch sessionizer's output
+    minus each user's final (still-open) session."""
+    from gobblin_spark.operators.sessions import session_stats
+    from gobblin_spark.streaming.sessions import streaming_sessionize
+
+    rows = []
+    for u in range(4):
+        t = dt.datetime(2024, 1, 1, 6 + u, 0, 0)
+        for sess in range(3):
+            for i in range(2 + (u + sess) % 3):
+                rows.append((u, t))
+                t += dt.timedelta(minutes=10)
+            t += dt.timedelta(hours=2)  # close the session (gap 1h)
+    src = os.path.join(tmp_table_dir, "events_src")
+    # single file → single micro-batch → deterministic in-batch ordering
+    spark.createDataFrame(rows, ["user_id", "ts"]).coalesce(1).write.parquet(
+        src
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    )
+    # no timers: only the gap rule may close sessions, and an availableNow
+    # drain must not wait on pending processing-time timers.
+    closed = streaming_sessionize(
+        stream, gap_seconds=3600, close_timeout_ms=None
+    )
+    q = (
+        closed.writeStream.format("memory")
+        .queryName("sessions_out")
+        .option(
+            "checkpointLocation", os.path.join(tmp_table_dir, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # availableNow: blocks until the drain completes
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+
+    batch = session_stats(
+        spark.createDataFrame(rows, ["user_id", "ts"]),
+        "user_id", "ts", gap_seconds=3600,
+    )
+    last_idx = batch.groupBy("user_id").agg(
+        F.max("session_idx").alias("last_idx")
+    )
+    expected_df = batch.join(last_idx, "user_id").filter(
+        F.col("session_idx") < F.col("last_idx")
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in expected_df.collect()
+    }
+    assert got == expected
+    assert len(expected) == 4 * 2  # 2 closed sessions per user
