@@ -41,6 +41,20 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def balance_input(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Spread an under-partitioned input across the cluster before a
+    compute-heavy per-row projection (md5 signatures, shingling). A small
+    parquet source arrives as 1-2 partitions, serializing everything up to
+    the first shuffle onto one core; at real scale the input is already
+    wide and this is a no-op (the partition check avoids an always-shuffle).
+    Explicit repartition(n) so AQE's small-data coalescing can't undo it."""
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ------------------------------------------------------------------ shingles
 def tokens_expr(text_col, lowercase: bool = True):
     t = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -61,8 +75,13 @@ def shingles_expr(text_col, n: int = 3):
 
 
 def jaccard_expr(a, b):
+    """Set Jaccard for arrays that are ALREADY distinct (shingles_expr
+    guarantees it): |A∩B| / (|A|+|B|-|A∩B|). Computing the union size by
+    inclusion-exclusion skips materializing the union array — one hash-set
+    pass per pair instead of two, which halves the dominant cost of the
+    all-pairs and LSH-candidate verify stages."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -145,7 +164,7 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0
     rpb = n_hashes // bands
-    s = df.select(
+    s = balance_input(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("__id"),
         shingles_expr(text_col, n).alias("__sh"),
     ).withColumn("__sh", F.when(F.size("__sh") > 0, F.col("__sh"))
@@ -255,8 +274,9 @@ def simhash_dedup(
     if d < n_blocks), candidate-join per block, verify true hamming ≤
     max_hamming."""
     n_blocks = bits // band_bits
-    s = df.select(F.col(id_col).alias("__id"),
-                  simhash_expr(text_col, bits).alias("__sim"))
+    s = balance_input(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("__id"),
+        simhash_expr(text_col, bits).alias("__sim"))
     blocks = F.array(
         *[
             F.struct(

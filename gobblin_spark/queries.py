@@ -515,15 +515,15 @@ FROM (SELECT doc_id,
 """
 
 SQL_NGRAM_JACCARD = f"""
-WITH s AS ({_DUCK_SHINGLES.replace("FROM documents", "FROM documents WHERE doc_id % 5 = 0")})
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
-             6) AS jaccard
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
-  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.02
+WITH s AS ({_DUCK_SHINGLES.replace("FROM documents", "FROM documents WHERE doc_id % 5 = 0")}),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+              AS DOUBLE) AS u
+  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(i / u, 6) AS jaccard
+FROM j WHERE u > 0 AND i / u >= 0.02
 ORDER BY id_a, id_b
 """
 
@@ -562,15 +562,14 @@ banded AS (SELECT doc_id, sh, [{band_list}] AS bands
 ex AS (SELECT doc_id, sh, unnest(bands) AS band FROM banded),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                 a.sh AS sh_a, b.sh AS sh_b
-         FROM ex a JOIN ex b ON a.band = b.band AND a.doc_id < b.doc_id)
-SELECT id_a, id_b,
-       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-             CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE), 6)
-       AS jaccard
-FROM cand
-WHERE len(list_distinct(list_concat(sh_a, sh_b))) > 0
-  AND CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-      CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) >= {threshold}
+         FROM ex a JOIN ex b ON a.band = b.band AND a.doc_id < b.doc_id),
+j AS (SELECT id_a, id_b,
+             CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) AS i,
+             CAST(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))
+                  AS DOUBLE) AS u
+      FROM cand)
+SELECT id_a, id_b, round(i / u, 6) AS jaccard
+FROM j WHERE u > 0 AND i / u >= {threshold}
 {"ORDER BY id_a, id_b" if order_by else ""}
 """
 
@@ -578,9 +577,9 @@ WHERE len(list_distinct(list_concat(sh_a, sh_b))) > 0
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (md5-derived per-token hash,
     bit-exact across engines)."""
-    docs = load(spark, sf_dir, "documents")
-    from gobblin_spark.operators.dedup import simhash_expr
+    from gobblin_spark.operators.dedup import balance_input, simhash_expr
 
+    docs = balance_input(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", simhash_expr(F.col("text"), bits=32).alias("simhash")
     ).orderBy("doc_id")
@@ -879,9 +878,10 @@ FROM best ORDER BY doc_id
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact md5 of normalized text + min-shingle
     sketch digest."""
-    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.dedup import balance_input
     from gobblin_spark.operators.text import fingerprint
 
+    docs = balance_input(load(spark, sf_dir, "documents"))
     fp = fingerprint(F.col("text"), 3)
     return docs.select(
         "doc_id", fp["exact"].alias("fp_exact"), fp["sketch"].alias("fp_sketch")

@@ -399,3 +399,52 @@ def test_pii_scrub_and_counts(spark):
     assert row["c"]["n_email"] == 1
     assert row["c"]["n_url"] == 1
     assert row["c"]["n_ipv4"] == 2
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check: on deterministic pseudo-random graphs, the Spark CC
+    operator must equal a driver-side union-find ground truth."""
+    from gobblin_spark.operators.dedup import connected_components
+
+    def union_find_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # fully compress, then label = min member per root
+        roots = {}
+        for n in nodes:
+            roots.setdefault(find(n), []).append(n)
+        return {n: min(members) for members in roots.values() for n in members}
+
+    # deterministic LCG so the test needs no RNG seed plumbing
+    state = 12345
+    def nxt(mod):
+        nonlocal state
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        return state % mod
+
+    for n_nodes, n_edges in [(30, 15), (60, 80), (100, 40)]:
+        edges = []
+        for _ in range(n_edges):
+            a, b = nxt(n_nodes), nxt(n_nodes)
+            if a != b:
+                edges.append((min(a, b), max(a, b)))
+        if not edges:
+            continue
+        nodes = sorted({x for e in edges for x in e})
+        expected = union_find_components(edges, nodes)
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expected
