@@ -22,6 +22,7 @@ import subprocess
 import sys
 import tempfile
 import time
+from shutil import which as shutil_which
 
 os.environ.setdefault("SPARK_DRIVER_MEM", "48g")  # local-mode heap = the whole 'cluster'
 if os.path.isdir("/dev/shm"):
@@ -167,12 +168,21 @@ def main() -> None:
         )
         print(f"materialized events at {ev_path}", file=sys.stderr)
 
+    # Pin each level to exactly N CPUs (taskset): an unpinned local[N] JVM
+    # leaks GC / shuffle-compression / Python-worker threads onto idle cores
+    # (measured cores_busy 2.4 on a "2-core" leg), inflating the baseline
+    # and understating efficiency. Real cluster executors are cgroup-capped;
+    # pinning reproduces that.
+    pin = shutil_which("taskset")
     runs: dict[int, list[dict]] = {BASE_CPUS: [], BASE_CPUS * 4: []}
     for rep in range(REPEATS):
         for cpus in (BASE_CPUS, BASE_CPUS * 4):
+            cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+                   str(cpus), ev_path]
+            if pin:
+                cmd = [pin, "-c", f"0-{cpus - 1}"] + cmd
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker",
-                 str(cpus), ev_path],
+                cmd,
                 capture_output=True,
                 text=True,
                 cwd=REPO,
