@@ -125,3 +125,60 @@ def test_text_and_json_formats(spark, tmp_table_dir):
     pt = src_t.plan(data)
     lines = src_t.read(spark, pt, fmt="text")
     assert {r["value"] for r in lines.collect()} == {"line one", "line two"}
+
+
+def test_file_diff_source_text_csv_json_formats(spark, tmp_table_dir):
+    """≙ the reference's Avro/Hadoop-text file sources: the snapshot-diff
+    source must ingest non-parquet formats through the same plan/read/commit
+    protocol. Text lines, headered CSV, and JSON-lines each round-trip."""
+    import json as _json
+
+    from gobblin_spark.sinks import text_lines, write_files
+
+    base = os.path.join(tmp_table_dir, "multi")
+    # text: one file of raw lines
+    txt_dir = os.path.join(base, "t1")
+    write_files(
+        text_lines(
+            spark.range(0, 5).selectExpr("concat('line-', id) AS s"), "s"
+        ),
+        txt_dir, fmt="text",
+    )
+    src_txt = FileDiffSource(os.path.join(tmp_table_dir, "st_txt"),
+                             pattern="*.txt")
+    p = src_txt.plan(base)
+    got = {r["value"] for r in src_txt.read(spark, p, fmt="text").collect()}
+    assert got == {f"line-{i}" for i in range(5)}
+    src_txt.commit(p)
+    assert src_txt.plan(base).empty  # no new files → empty delta
+
+    # csv with header, via the staged csv sink
+    csv_base = os.path.join(tmp_table_dir, "csvsrc")
+    write_files(
+        spark.range(0, 4).selectExpr("id", "id * 3 AS v"),
+        os.path.join(csv_base, "c1"), fmt="csv",
+        options={"header": "true"},
+    )
+    src_csv = FileDiffSource(os.path.join(tmp_table_dir, "st_csv"),
+                             pattern="*.csv")
+    pc = src_csv.plan(csv_base)
+    df = spark.read.option("header", "true").option(
+        "inferSchema", "true").csv(pc.files_to_pull)
+    assert {(r["id"], r["v"]) for r in df.collect()} == {
+        (i, i * 3) for i in range(4)
+    }
+
+    # json lines
+    js_base = os.path.join(tmp_table_dir, "jssrc")
+    write_files(
+        spark.range(0, 3).selectExpr("id", "concat('n', id) AS name"),
+        os.path.join(js_base, "j1"), fmt="json",
+    )
+    src_js = FileDiffSource(os.path.join(tmp_table_dir, "st_js"),
+                            pattern="*.json")
+    pj = src_js.plan(js_base)
+    rows = {
+        (r["id"], r["name"])
+        for r in src_js.read(spark, pj, fmt="json").collect()
+    }
+    assert rows == {(0, "n0"), (1, "n1"), (2, "n2")}
