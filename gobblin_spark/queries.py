@@ -1089,6 +1089,37 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: every document EXCEPT near-dup cluster
+    non-representatives (LSH pairs → connected components → keep min id per
+    cluster). This is the end product a training pipeline ships; singleton
+    docs pass through untouched. One broadcast-able anti-join against the
+    (tiny) non-representative list."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.dedup import minhash_lsh_pairs, neardup_clusters
+
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, n_hashes=12, bands=4, threshold=0.1
+    )
+    drop = neardup_clusters(pairs).filter(~F.col("is_kept")).select("doc_id")
+    return (
+        docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _duck_corpus_keep_sql() -> str:
+    cluster = _duck_cluster_sql()
+    return f"""
+WITH cl AS ({cluster})
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE NOT is_kept)
+ORDER BY d.doc_id
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/boilerplate quality signals per document."""
     docs = load(spark, sf_dir, "documents")
@@ -1263,6 +1294,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_cluster_assign": q_dedup_cluster_assign,
+    "dedup_corpus_keep": q_dedup_corpus_keep,
     "embedding_neardup": q_embedding_neardup,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
@@ -1300,6 +1332,7 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_minhash_lsh": _duck_minhash_sql(),
         "dedup_simhash": SQL_SIMHASH,
         "dedup_cluster_assign": _duck_cluster_sql(),
+        "dedup_corpus_keep": _duck_corpus_keep_sql(),
         "embedding_neardup": SQL_EMB_NEARDUP,
         "similarity_topk": SQL_SIM_TOPK,
         "similarity_lsh_topk": _duck_lsh_topk_sql(),
