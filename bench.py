@@ -118,6 +118,10 @@ def main() -> None:
     # total is reported separately so the one-time cost stays visible.
     from gobblin_spark.queries import QUERIES
 
+    # min over cold + (REPS-1) warm runs: this VM's resource supply swings
+    # 4-7x over minutes (BENCH/SCALING.md §3), so a single warm timing can
+    # land in a throttled window; the min is the least-contended estimate.
+    reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
     per_query: dict[str, float] = {}
     cold_total = 0.0
     for name, fn in QUERIES.items():
@@ -126,9 +130,12 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             cold = time.time() - tq
             cold_total += cold
-            tq = time.time()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            per_query[name] = round(min(time.time() - tq, cold), 3)
+            best = cold
+            for _ in range(max(0, reps - 1)):
+                tq = time.time()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - tq)
+            per_query[name] = round(best, 3)
         except Exception:
             per_query[name] = -1.0
     timings["queries_cold_total"] = round(cold_total, 3)
