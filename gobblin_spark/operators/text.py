@@ -219,3 +219,36 @@ def pii_counts(text_col):
         )
         cur = F.regexp_replace(cur, pat, repl)
     return F.struct(*fields)
+
+
+def hash_uniform_expr(id_col):
+    """Deterministic uniform [0,1) from a row id: first 8 md5 hex chars as a
+    32-bit int over 2^32. md5 (not xxhash64) so any SQL engine replays the
+    exact same draw — sampling decisions must be reproducible across reruns
+    AND engines for a training corpus to be auditable."""
+    import pyspark.sql.functions as F
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("double") / F.lit(4294967296.0)
+    )
+
+
+def stratified_sample(df, group_col: str, fracs: dict, id_col: str,
+                      default_frac: float = 0.0):
+    """Deterministic per-group sampling — the dataset-mixing step of a
+    training pipeline (e.g. keep 30% of 'en', all of low-resource langs).
+
+    Each row's keep/drop is a pure function of its id (md5-derived uniform
+    draw < its group's fraction): no RNG state, no shuffle, embarrassingly
+    parallel, and re-running over re-partitioned / re-ordered data selects
+    the IDENTICAL sample. Unknown groups fall back to ``default_frac``.
+    """
+    import pyspark.sql.functions as F
+
+    u = hash_uniform_expr(id_col)
+    frac = F.lit(float(default_frac))
+    for k, v in sorted(fracs.items()):
+        frac = F.when(F.col(group_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.filter(u < frac)

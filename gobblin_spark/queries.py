@@ -1165,6 +1165,49 @@ ORDER BY d.doc_id
 """
 
 
+MIX_FRACS = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 0.6, "zh": 0.5}
+
+
+def q_dataset_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language — the dataset-mixing
+    step (downweight high-resource 'en', keep all low-resource docs). The
+    md5-derived draw makes the sample a pure function of doc_id: identical
+    across reruns, partitionings, and engines (the oracle replays it)."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.text import stratified_sample
+
+    return (
+        stratified_sample(docs, "lang", MIX_FRACS, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_kept"),
+             F.min("doc_id").alias("first_id"),
+             F.max("doc_id").alias("last_id"),
+             # xor-free order-insensitive membership digest so the oracle
+             # checks WHICH ids were kept, not just how many
+             F.sum(F.col("doc_id") * F.col("doc_id")).cast("long")
+             .alias("id_sq_sum"))
+        .orderBy("lang")
+    )
+
+
+SQL_DATASET_MIX = """
+WITH u AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS draw
+  FROM documents),
+kept AS (
+  SELECT doc_id, lang FROM u
+  WHERE draw < CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 1.0
+                         WHEN 'fr' THEN 1.0 WHEN 'es' THEN 0.6
+                         WHEN 'zh' THEN 0.5 ELSE 0.0 END)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       MIN(doc_id) AS first_id, MAX(doc_id) AS last_id,
+       CAST(SUM(doc_id * doc_id) AS BIGINT) AS id_sq_sum
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents: redact emails/URLs/IPv4s with typed
     placeholders, count redactions per kind. The synthetic corpus contains
@@ -1305,6 +1348,7 @@ QUERIES = {
     "text_quality_score": q_text_quality_score,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
+    "dataset_mix_sample": q_dataset_mix_sample,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_media_frame_sample,
     "media_features": q_media_features,
@@ -1343,6 +1387,7 @@ def oracle_sqls() -> dict[str, str]:
         "text_quality_score": _duck_quality_sql(),
         "text_repetition": SQL_TEXT_REPETITION,
         "text_pii_scrub": SQL_TEXT_PII,
+        "dataset_mix_sample": SQL_DATASET_MIX,
         "media_metadata": SQL_MEDIA_METADATA,
         "media_frame_sample": SQL_MEDIA_FRAMES,
         "media_features": SQL_MEDIA_FEATURES,

@@ -448,3 +448,29 @@ def test_connected_components_random_graphs_match_union_find(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == expected
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    """The sample must be a pure function of the id (identical across
+    repartitionings), respect per-group fractions approximately, and drop
+    unknown groups by default."""
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.operators.text import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+        + [(9999, "zz")],
+        ["id", "g"],
+    )
+    fracs = {"a": 0.25, "b": 1.0}
+    s1 = {r["id"] for r in
+          stratified_sample(df, "g", fracs, "id").collect()}
+    s2 = {r["id"] for r in
+          stratified_sample(df.repartition(13), "g", fracs, "id").collect()}
+    assert s1 == s2  # identical sample regardless of physical layout
+    n_a = sum(1 for i in s1 if i != 9999 and i % 2 == 0)
+    n_b = sum(1 for i in s1 if i != 9999 and i % 2 == 1)
+    assert abs(n_a / 1000 - 0.25) < 0.06   # md5 draws ~uniform
+    assert n_b == 1000                      # frac 1.0 keeps everything
+    assert 9999 not in s1                   # unknown group -> default 0.0
