@@ -191,6 +191,44 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Near-dup corpus dedup as a launchable job: LSH pairs → connected
+    components → keep one representative per cluster, staged-publish the
+    kept corpus. ≙ running the reference's compaction-dedup as a standalone
+    job, generalized to content similarity."""
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+    from gobblin_spark.sinks import write_files
+
+    spark = _get_session(args)
+    docs = spark.read.parquet(args.input)
+    pairs = minhash_lsh_pairs(
+        docs, args.id_col, args.text_col,
+        n=args.shingle, n_hashes=args.hashes, bands=args.bands,
+        threshold=args.threshold, hash_fn=args.hash_fn,
+    )
+    clusters = neardup_clusters(pairs, "id_a", "id_b")
+    drop = (
+        clusters.filter(~F.col("is_kept"))
+        .select(F.col("doc_id").alias(args.id_col))
+    )
+    kept = docs.join(F.broadcast(drop), args.id_col, "left_anti")
+    write_files(kept, args.output, fmt=args.format, mode="overwrite")
+    n_in = docs.count()
+    n_out = spark.read.format(args.format).load(args.output).count()
+    print(json.dumps({
+        "docs_in": n_in,
+        "docs_kept": n_out,
+        "docs_dropped": n_in - n_out,
+        "output": args.output,
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gobblin_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -272,10 +310,29 @@ def main(argv: list[str] | None = None) -> int:
     vac.add_argument("--table", required=True)
     vac.add_argument("--local-cores", type=int, default=0)
 
+    dd = sub.add_parser(
+        "dedup",
+        help="near-dup corpus dedup: LSH -> connected components -> keep "
+             "one representative per cluster, staged publish",
+    )
+    dd.add_argument("--input", required=True, help="documents parquet path")
+    dd.add_argument("--output", required=True, help="kept-corpus output dir")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--shingle", type=int, default=3)
+    dd.add_argument("--hashes", type=int, default=12)
+    dd.add_argument("--bands", type=int, default=4)
+    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument("--hash-fn", default="xxhash64",
+                    choices=["xxhash64", "md5"],
+                    help="xxhash64 = production tier; md5 = oracle tier")
+    dd.add_argument("--format", default="parquet")
+    dd.add_argument("--local-cores", type=int, default=0)
+
     args = p.parse_args(argv)
     return {"ingest": cmd_ingest, "tail": cmd_tail, "pull": cmd_pull,
             "status": cmd_status, "compact": cmd_compact,
-            "vacuum": cmd_vacuum}[args.cmd](args)
+            "vacuum": cmd_vacuum, "dedup": cmd_dedup}[args.cmd](args)
 
 
 if __name__ == "__main__":

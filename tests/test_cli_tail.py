@@ -81,3 +81,25 @@ def test_tail_incremental_directory_ingest(spark, tmp_table_dir, capsys):
     assert got.select("repo", "path", "content").exceptAll(want).count() == 0
     assert want.exceptAll(got.select("repo", "path", "content")).count() == 0
     ev.unpersist()
+
+
+def test_cli_dedup_matches_corpus_keep_query(spark, tmp_table_dir, sf_dir):
+    """The dedup CLI (md5 oracle tier) must keep exactly the docs the
+    oracle-gated dedup_corpus_keep query keeps."""
+    import os
+
+    from gobblin_spark.cli import main
+    from gobblin_spark.queries import q_dedup_corpus_keep
+
+    out = os.path.join(tmp_table_dir, "kept")
+    rc = main([
+        "dedup",
+        "--input", os.path.join(sf_dir, "documents.parquet"),
+        "--output", out,
+        "--threshold", "0.1",
+        "--hash-fn", "md5",
+    ])
+    assert rc == 0
+    kept_cli = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    kept_q = {r["doc_id"] for r in q_dedup_corpus_keep(spark, sf_dir).collect()}
+    assert kept_cli == kept_q
