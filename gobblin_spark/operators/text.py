@@ -252,3 +252,37 @@ def stratified_sample(df, group_col: str, fracs: dict, id_col: str,
     for k, v in sorted(fracs.items()):
         frac = F.when(F.col(group_col) == k, F.lit(float(v))).otherwise(frac)
     return df.filter(u < frac)
+
+
+def contamination_flags(docs, probes, id_col: str, text_col: str,
+                        probe_id_col: str, probe_text_col: str, n: int = 8):
+    """Benchmark decontamination: flag every training document sharing at
+    least one word n-gram with an evaluation/probe set (the standard
+    n-gram-overlap contamination rule).
+
+    Scale shape: probe n-grams are tiny (eval sets are small) → broadcast;
+    training docs explode to (id, gram) and semi-join the broadcast — one
+    scan of the corpus, no shuffle of the corpus itself. Returns
+    (doc_id, n_hits, first_probe) per CONTAMINATED doc only.
+    """
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.operators.dedup import shingles_expr
+
+    pg = probes.select(
+        F.col(probe_id_col).alias("__pid"),
+        F.explode(shingles_expr(probe_text_col, n)).alias("__gram"),
+    ).dropDuplicates(["__pid", "__gram"])
+    dg = docs.select(
+        F.col(id_col).alias("__did"),
+        F.explode(shingles_expr(text_col, n)).alias("__gram"),
+    )
+    hits = dg.join(F.broadcast(pg), "__gram")
+    return (
+        hits.groupBy("__did")
+        .agg(
+            F.countDistinct("__gram").cast("long").alias("n_hits"),
+            F.min("__pid").alias("first_probe"),
+        )
+        .select(F.col("__did").alias(id_col), "n_hits", "first_probe")
+    )

@@ -1165,6 +1165,50 @@ ORDER BY d.doc_id
 """
 
 
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 4-gram with the
+    probe set (every 50th doc stands in for an eval benchmark; n=4 here so
+    the small synthetic corpus yields a non-trivial flagged set — production
+    pipelines pick n=8..13 via the same knob). Probe grams broadcast; the
+    corpus is scanned once, never shuffled."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.text import contamination_flags
+
+    probes = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("text").alias("probe_text")
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_flags(
+        train, probes, "doc_id", "text", "probe_id", "probe_text", n=4
+    ).orderBy("doc_id")
+
+
+_DUCK_4GRAMS = """
+SELECT doc_id,
+       list_distinct(
+         CASE WHEN len(toks) >= 4 THEN
+           [array_to_string(toks[i:i+3], ' ') FOR i IN range(1, len(toks)-2)]
+         ELSE [] END) AS g8
+FROM (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents)
+"""
+
+SQL_TEXT_CONTAMINATION = f"""
+WITH grams AS ({_DUCK_4GRAMS}),
+pg AS (SELECT doc_id AS pid, unnest(g8) AS gram FROM grams
+       WHERE doc_id % 50 = 0),
+dg AS (SELECT doc_id AS did, unnest(g8) AS gram FROM grams
+       WHERE doc_id % 50 <> 0)
+SELECT did AS doc_id,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_hits,
+       MIN(pid) AS first_probe
+FROM dg JOIN pg USING (gram)
+GROUP BY did ORDER BY doc_id
+"""
+
+
 MIX_FRACS = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 0.6, "zh": 0.5}
 
 
@@ -1348,6 +1392,7 @@ QUERIES = {
     "text_quality_score": q_text_quality_score,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
+    "text_contamination": q_text_contamination,
     "dataset_mix_sample": q_dataset_mix_sample,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_media_frame_sample,
@@ -1387,6 +1432,7 @@ def oracle_sqls() -> dict[str, str]:
         "text_quality_score": _duck_quality_sql(),
         "text_repetition": SQL_TEXT_REPETITION,
         "text_pii_scrub": SQL_TEXT_PII,
+        "text_contamination": SQL_TEXT_CONTAMINATION,
         "dataset_mix_sample": SQL_DATASET_MIX,
         "media_metadata": SQL_MEDIA_METADATA,
         "media_frame_sample": SQL_MEDIA_FRAMES,

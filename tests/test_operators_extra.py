@@ -474,3 +474,26 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     assert abs(n_a / 1000 - 0.25) < 0.06   # md5 draws ~uniform
     assert n_b == 1000                      # frac 1.0 keeps everything
     assert 9999 not in s1                   # unknown group -> default 0.0
+
+
+def test_contamination_flags_ngram_overlap(spark):
+    """A doc sharing an n-gram with a probe is flagged with the hit count;
+    clean docs are absent; overlap shorter than n does not flag."""
+    from gobblin_spark.operators.text import contamination_flags
+
+    probes = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over")], ["pid", "ptext"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text the quick brown fox jumps away"),  # 2 shared 4-grams
+            (2, "quick brown fox somewhere"),                  # only 3 shared words
+            (3, "completely unrelated content here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in contamination_flags(
+        docs, probes, "doc_id", "text", "pid", "ptext", n=4).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_hits"] == 2  # 'the quick brown fox', 'quick brown fox jumps'
+    assert got[1]["first_probe"] == 100
