@@ -1209,6 +1209,43 @@ GROUP BY did ORDER BY doc_id
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy fixed-token-window pack assignment within
+    deterministic id buckets (64-token windows, 100-doc buckets at this
+    scale). Buckets shuffle only (id, token_count); each is one Arrow
+    applyInPandas group. Assignment is a pure function of ids + counts, so
+    the oracle replays it exactly with a recursive CTE."""
+    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.packing import pack_sequences
+    from gobblin_spark.operators.text import token_count_ws
+
+    return pack_sequences(
+        docs, "doc_id", token_count_ws(F.col("text")),
+        window_tokens=64, bucket_size=100,
+    ).orderBy("doc_id")
+
+
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE q AS (
+  SELECT doc_id, doc_id // 100 AS bucket,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS t,
+         row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id)
+           AS rn
+  FROM documents),
+r(bucket, rn, doc_id, t, acc, pack) AS (
+  SELECT bucket, rn, doc_id, t, t, 0 FROM q WHERE rn = 1
+  UNION ALL
+  SELECT q.bucket, q.rn, q.doc_id, q.t,
+         CASE WHEN r.acc + q.t > 64 THEN q.t ELSE r.acc + q.t END,
+         CASE WHEN r.acc + q.t > 64 THEN r.pack + 1 ELSE r.pack END
+  FROM r JOIN q ON q.bucket = r.bucket AND q.rn = r.rn + 1)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(pack AS BIGINT) AS pack_idx, CAST(t AS BIGINT) AS n_tokens
+FROM r ORDER BY doc_id
+"""
+
+
 MIX_FRACS = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 0.6, "zh": 0.5}
 
 
@@ -1394,6 +1431,7 @@ QUERIES = {
     "text_pii_scrub": q_text_pii_scrub,
     "text_contamination": q_text_contamination,
     "dataset_mix_sample": q_dataset_mix_sample,
+    "pack_sequences": q_pack_sequences,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_media_frame_sample,
     "media_features": q_media_features,
@@ -1434,6 +1472,7 @@ def oracle_sqls() -> dict[str, str]:
         "text_pii_scrub": SQL_TEXT_PII,
         "text_contamination": SQL_TEXT_CONTAMINATION,
         "dataset_mix_sample": SQL_DATASET_MIX,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "media_metadata": SQL_MEDIA_METADATA,
         "media_frame_sample": SQL_MEDIA_FRAMES,
         "media_features": SQL_MEDIA_FEATURES,

@@ -497,3 +497,35 @@ def test_contamination_flags_ngram_overlap(spark):
     assert set(got) == {1}
     assert got[1]["n_hits"] == 2  # 'the quick brown fox', 'quick brown fox jumps'
     assert got[1]["first_probe"] == 100
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    """Greedy reset packing per bucket: fills to the window, oversize docs
+    take their own pack, bucket boundaries restart numbering."""
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.operators.packing import pack_sequences
+
+    rows = [
+        # bucket 0 (ids 0..9), window 10
+        (0, 4), (1, 5),          # pack 0 (4+5=9 <= 10)
+        (2, 3),                  # pack 1 (9+3 > 10 -> reset)
+        (3, 25),                 # pack 2 (oversize -> own pack)
+        (4, 2),                  # pack 3 (25+2 > 10)
+        # bucket 1 restarts at pack 0
+        (10, 6), (11, 4),        # pack 0 (6+4=10, fits exactly)
+        (12, 1),                 # pack 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    got = {
+        r["doc_id"]: (r["bucket"], r["pack_idx"])
+        for r in pack_sequences(
+            df, "doc_id", F.col("n"), window_tokens=10, bucket_size=10
+        ).collect()
+    }
+    assert got[0] == (0, 0) and got[1] == (0, 0)
+    assert got[2] == (0, 1)
+    assert got[3] == (0, 2)
+    assert got[4] == (0, 3)
+    assert got[10] == (1, 0) and got[11] == (1, 0)
+    assert got[12] == (1, 1)
