@@ -232,3 +232,52 @@ def test_bucket_cols_must_be_subset_of_keys(spark, tmp_table_dir):
     with pytest.raises(ValueError):
         LakeTable.create(spark, tmp_table_dir + "/bad", TARGET_SCHEMA,
                          bucket_cols=["repo", "commit"], key_cols=KEYS)
+
+
+def test_crash_mid_compaction_leaves_table_readable(spark, tmp_table_dir,
+                                                    monkeypatch):
+    """A crash AFTER compaction wrote its rewrite files but BEFORE the
+    manifest publish must leave readers on the old snapshot, the orphans
+    vacuumable, and a re-run compaction convergent."""
+    from gobblin_spark.lakehouse.merge import compact, merge_lww_mor, read_current
+    from gobblin_spark.lakehouse.table import LakeTable
+
+    ev = make_events(spark, 1200, dup_frac=0.05, delete_frac=0.05,
+                     ooo_window=100)
+    t = new_table(spark, tmp_table_dir + "/t")
+    n = ev.count()
+    step = n // 2 + 1
+    for lo in range(0, n, step):
+        batch = data_events(ev).filter(
+            (F.col("seq") >= lo) & (F.col("seq") < lo + step)
+        )
+        merge_lww_mor(t, batch, KEYS, seq_col="seq", op_col="op")
+
+    before = {(r["repo"], r["path"], r["commit"])
+              for r in read_current(t).collect()}
+    v_before = t.snapshot().version
+
+    real_publish = LakeTable._publish_manifest
+
+    def boom(self, snap):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(LakeTable, "_publish_manifest", boom)
+    try:
+        compact(t)
+        assert False, "compact should have crashed"
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(LakeTable, "_publish_manifest", real_publish)
+
+    # table still serves the pre-crash snapshot
+    assert t.snapshot().version == v_before
+    assert {(r["repo"], r["path"], r["commit"])
+            for r in read_current(t).collect()} == before
+    # orphaned rewrite files are vacuumable, then compaction converges
+    removed = t.vacuum()
+    assert removed > 0
+    compact(t)
+    assert {(r["repo"], r["path"], r["commit"])
+            for r in read_current(t).collect()} == before
+    assert int(t.snapshot().properties.get("mor_deltas", 1)) == 0
