@@ -229,6 +229,76 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end training-corpus curation as ONE launchable job:
+
+      language filter → quality-score threshold → repetition filter →
+      PII scrub → near-dup dedup (LSH + connected components) →
+      deterministic stratified sample → sequence packing → staged publish
+
+    Every stage is a JVM-expression or Arrow-vectorized operator from
+    gobblin_spark.operators; the composition is one DataFrame plan up to the
+    dedup clustering (iterative) and one more to publish, so Catalyst
+    pipelines the per-doc stages into a single corpus scan."""
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.operators import text as T
+    from gobblin_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+    from gobblin_spark.operators.packing import pack_sequences
+    from gobblin_spark.sinks import write_files
+
+    spark = _get_session(args)
+    docs = spark.read.parquet(args.input)
+    stats = {"docs_in": docs.count()}
+
+    d = docs
+    if args.langs:
+        keep = [x for x in args.langs.split(",") if x]
+        d = d.filter(T.lang_id(F.col(args.text_col)).isin(keep))
+    d = d.filter(T.quality_score(F.col(args.text_col)) >= args.min_quality)
+    rep = T.token_repetition_stats(d, args.id_col, args.text_col)
+    d = d.join(
+        rep.filter(F.col("top_bigram_frac") <= args.max_bigram_frac)
+        .select(args.id_col),
+        args.id_col,
+    )
+    d = d.withColumn(args.text_col, T.pii_scrub(F.col(args.text_col)))
+    d = d.localCheckpoint(eager=False)  # the dedup loop re-reads this
+    stats["docs_after_filters"] = d.count()
+
+    pairs = minhash_lsh_pairs(
+        d, args.id_col, args.text_col,
+        threshold=args.dedup_threshold, hash_fn="xxhash64",
+    )
+    drop = (
+        neardup_clusters(pairs).filter(~F.col("is_kept"))
+        .select(F.col("doc_id").alias(args.id_col))
+    )
+    d = d.join(F.broadcast(drop), args.id_col, "left_anti")
+
+    if args.sample_frac < 1.0:
+        from gobblin_spark.operators.text import hash_uniform_expr
+
+        d = d.filter(hash_uniform_expr(args.id_col) < args.sample_frac)
+
+    packs = pack_sequences(
+        d, args.id_col, T.token_count_ws(F.col(args.text_col)),
+        window_tokens=args.window_tokens,
+    ).withColumnRenamed("doc_id", args.id_col)
+    out = d.join(packs.select(args.id_col, "bucket", "pack_idx"),
+                 args.id_col)
+    write_files(out, args.output, fmt="parquet", mode="overwrite")
+    published = spark.read.parquet(args.output)
+    stats["docs_out"] = published.count()
+    stats["packs_out"] = published.select("bucket", "pack_idx").distinct().count()
+    stats["output"] = args.output
+    print(json.dumps(stats))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gobblin_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -329,10 +399,29 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--format", default="parquet")
     dd.add_argument("--local-cores", type=int, default=0)
 
+    cu = sub.add_parser(
+        "curate",
+        help="full corpus curation: filter -> score -> scrub -> dedup -> "
+             "sample -> pack -> publish",
+    )
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--langs", default="",
+                    help="comma list of predicted langs to keep (empty=all)")
+    cu.add_argument("--min-quality", type=float, default=0.3)
+    cu.add_argument("--max-bigram-frac", type=float, default=0.5)
+    cu.add_argument("--dedup-threshold", type=float, default=0.5)
+    cu.add_argument("--sample-frac", type=float, default=1.0)
+    cu.add_argument("--window-tokens", type=int, default=2048)
+    cu.add_argument("--local-cores", type=int, default=0)
+
     args = p.parse_args(argv)
     return {"ingest": cmd_ingest, "tail": cmd_tail, "pull": cmd_pull,
             "status": cmd_status, "compact": cmd_compact,
-            "vacuum": cmd_vacuum, "dedup": cmd_dedup}[args.cmd](args)
+            "vacuum": cmd_vacuum, "dedup": cmd_dedup,
+            "curate": cmd_curate}[args.cmd](args)
 
 
 if __name__ == "__main__":

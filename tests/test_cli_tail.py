@@ -103,3 +103,40 @@ def test_cli_dedup_matches_corpus_keep_query(spark, tmp_table_dir, sf_dir):
     kept_cli = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     kept_q = {r["doc_id"] for r in q_dedup_corpus_keep(spark, sf_dir).collect()}
     assert kept_cli == kept_q
+
+
+def test_cli_curate_end_to_end(spark, tmp_table_dir, sf_dir):
+    """The composed curation job: counts are monotone through the funnel,
+    every output doc carries a pack assignment, and no pack exceeds the
+    token window (oversize single docs excepted)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.cli import main
+    from gobblin_spark.operators.text import token_count_ws
+
+    out = os.path.join(tmp_table_dir, "curated")
+    rc = main([
+        "curate",
+        "--input", os.path.join(sf_dir, "documents.parquet"),
+        "--output", out,
+        "--dedup-threshold", "0.1",
+        "--sample-frac", "0.7",
+        "--window-tokens", "128",
+    ])
+    assert rc == 0
+    cur = spark.read.parquet(out)
+    n_in = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).count()
+    assert 0 < cur.count() < n_in
+    assert {"bucket", "pack_idx"} <= set(cur.columns)
+    per_pack = (
+        cur.select(token_count_ws(F.col("text")).alias("t"),
+                   "bucket", "pack_idx")
+        .groupBy("bucket", "pack_idx")
+        .agg(F.sum("t").alias("tot"), F.count("*").alias("n"))
+    )
+    # multi-doc packs must fit the window; only single oversize docs may not
+    bad = per_pack.filter((F.col("tot") > 128) & (F.col("n") > 1)).count()
+    assert bad == 0
