@@ -798,9 +798,10 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish subword estimate +
     mean word length + punctuation ratio."""
-    docs = load(spark, sf_dir, "documents")
     from gobblin_spark.operators import text as T
+    from gobblin_spark.operators.dedup import balance_input
 
+    docs = balance_input(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.token_count_ws(F.col("text")).alias("n_tokens_ws"),
@@ -832,9 +833,10 @@ FROM t ORDER BY doc_id
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + stopword ratio per document."""
-    docs = load(spark, sf_dir, "documents")
     from gobblin_spark.operators import text as T
+    from gobblin_spark.operators.dedup import balance_input
 
+    docs = balance_input(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.lang_id(F.col("text")).alias("lang_pred"),
@@ -901,9 +903,10 @@ ORDER BY n.doc_id
 
 
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.dedup import balance_input
     from gobblin_spark.operators.text import quality_score
 
+    docs = balance_input(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", quality_score(F.col("text")).alias("quality")
     ).orderBy("doc_id")
@@ -1122,9 +1125,10 @@ ORDER BY d.doc_id
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/boilerplate quality signals per document."""
-    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.dedup import balance_input
     from gobblin_spark.operators.text import token_repetition_stats
 
+    docs = balance_input(load(spark, sf_dir, "documents"))
     return token_repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
 
 
