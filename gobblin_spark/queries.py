@@ -1026,9 +1026,10 @@ FROM f ORDER BY doc_id, frame_idx
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow-batched; deterministic
     sha-based decode stub), exploded to scalar rows for exact comparison."""
-    docs = load(spark, sf_dir, "documents")
+    from gobblin_spark.operators.dedup import balance_input
     from gobblin_spark.operators.multimodal import extract_features, synth_media
 
+    docs = balance_input(load(spark, sf_dir, "documents"))
     feats = extract_features(synth_media(docs), feat_dim=16)
     return (
         feats.filter(F.col("decode_ok"))
