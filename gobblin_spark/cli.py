@@ -204,6 +204,18 @@ def cmd_dedup(args) -> int:
     )
     from gobblin_spark.sinks import write_files
 
+    from pyspark.sql import Observation
+
+    # Fail fast on an unwritable format BEFORE the dedup compute: the kept
+    # corpus is multi-column, so `text` (single string column) can never
+    # hold it, and avro/kafka are env-gated.
+    if args.format not in {"parquet", "orc", "json", "csv"}:
+        print(json.dumps({
+            "error": f"--format {args.format} cannot hold the multi-column "
+                     "kept corpus; use parquet/orc/json/csv",
+        }))
+        return 2
+
     spark = _get_session(args)
     docs = spark.read.parquet(args.input)
     pairs = minhash_lsh_pairs(
@@ -216,10 +228,16 @@ def cmd_dedup(args) -> int:
         clusters.filter(~F.col("is_kept"))
         .select(F.col("doc_id").alias(args.id_col))
     )
-    kept = docs.join(F.broadcast(drop), args.id_col, "left_anti")
+    # Count kept rows via an Observation DURING the publish write — one
+    # pass, no sink re-read (csv/json round-trips lose schema and parquet
+    # re-reads are wasted IO at corpus scale).
+    obs = Observation("dedup_kept")
+    kept = docs.join(F.broadcast(drop), args.id_col, "left_anti").observe(
+        obs, F.count(F.lit(1)).alias("n_kept")
+    )
     write_files(kept, args.output, fmt=args.format, mode="overwrite")
     n_in = docs.count()
-    n_out = spark.read.format(args.format).load(args.output).count()
+    n_out = int(obs.get["n_kept"])
     print(json.dumps({
         "docs_in": n_in,
         "docs_kept": n_out,

@@ -403,6 +403,7 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         # (1) neighbor-min propagation
         nb = (
@@ -434,8 +435,19 @@ def connected_components(
         )
         cur_sum = lbl.agg(F.sum("l")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Partially-converged labels would silently under-deduplicate the
+        # corpus (multiple "representatives" per true cluster) — fail loudly
+        # instead; with pointer jumping, max_iter rounds cover components of
+        # diameter 2^max_iter, so hitting this means something is wrong.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "rounds (label-sum fixpoint not reached); raise max_iter or "
+            "inspect the pair graph"
+        )
     return lbl.select(F.col("u").alias("node"), F.col("l").alias("component"))
 
 

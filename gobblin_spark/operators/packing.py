@@ -32,9 +32,18 @@ def _pack_bucket(window_tokens: int):
         packs = []
         acc = 0
         k = 0
+        # Mirrors the oracle's recursive CTE exactly: the FIRST row of a
+        # bucket is always pack 0 with acc=t (even if oversize), and every
+        # later row applies `acc + t > window` UNCONDITIONALLY — no
+        # `acc > 0` guard, so leading zero-token docs followed by an
+        # oversize doc still roll to a new pack, bit-exact across engines.
+        first = True
         for t in pdf["n_tokens"]:
             t = int(t)
-            if acc and acc + t > window_tokens:
+            if first:
+                acc = t
+                first = False
+            elif acc + t > window_tokens:
                 k += 1
                 acc = t
             else:
@@ -58,7 +67,10 @@ def pack_sequences(
     pack (downstream truncation/splitting is a separate policy)."""
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        (F.col(id_col) / F.lit(bucket_size)).cast("long").alias("bucket"),
+        # integer floor division (`div`), not double division truncated
+        # toward zero: agrees with the oracle's `//` for negative ids and
+        # is precision-safe for ids above 2^53
+        F.expr(f"{id_col} div {bucket_size}").cast("long").alias("bucket"),
         token_count_col.cast("long").alias("n_tokens"),
     )
     return base.groupBy("bucket").applyInPandas(

@@ -105,14 +105,20 @@ class RowLevelPolicyChecker:
         passed = df.filter(all_pass)
         failed = df.filter(~all_pass)
         if self.err_path:
-            if run_id is not None:
-                import os
-
-                failed.write.mode("overwrite").parquet(
-                    os.path.join(self.err_path, f"run_id={run_id}")
+            # run_id is REQUIRED with an err_path: the quarantine write is
+            # only idempotent under replay because each run overwrites its
+            # own run_id=<id> subdirectory. A plain append would duplicate
+            # quarantined rows on every retry.
+            if run_id is None:
+                raise ValueError(
+                    "RowLevelPolicyChecker with err_path requires run_id "
+                    "for idempotent quarantine writes"
                 )
-            else:
-                failed.write.mode("append").parquet(self.err_path)
+            import os
+
+            failed.write.mode("overwrite").parquet(
+                os.path.join(self.err_path, f"run_id={run_id}")
+            )
         return RowQualityResult(passed, failed, counts,
                                 passed_count=passed_count)
 

@@ -81,3 +81,32 @@ class TimeBasedLimiter(Limiter):
 
     def consume(self, n: int) -> None:
         pass
+
+
+class PoolBasedLimiter(Limiter):
+    """Fixed pool of permits, released on consume
+    (≙ gobblin-utility/.../limiter/PoolBasedLimiter.java, which wraps a
+    Semaphore acquired per record batch and released on close).
+
+    Spark shape: task-level concurrency permits are the Spark scheduler's
+    job (executor cores × spark.task.cpus), so the useful planner-level
+    rendering is an in-flight RECORD pool — ``available()`` reports the
+    free permits, ``acquire(n)`` checks permits out for a batch being
+    planned, and ``consume(n)`` (the post-commit report) checks them back
+    in. Bounds how many records may be between extract and publish at once,
+    which is the back-pressure contract the reference's Semaphore gives a
+    streaming extractor."""
+
+    def __init__(self, pool_size: int):
+        self.pool_size = pool_size
+        self.outstanding = 0
+
+    def available(self) -> int:
+        return max(0, self.pool_size - self.outstanding)
+
+    def acquire(self, n: int) -> None:
+        self.outstanding += n
+
+    def consume(self, n: int) -> None:
+        # post-commit report releases the batch's permits
+        self.outstanding = max(0, self.outstanding - n)

@@ -91,7 +91,15 @@ def make_session_fn(gap_seconds: int, close_timeout_ms: int | None = 30000):
                     closed.append((start_us, last_us, n))
                     start_us, last_us, n = t, t, 1
                 else:
-                    last_us, n = t, n + 1
+                    # Cross-batch disorder guard: an event older than the
+                    # stored last_us must never regress the session window —
+                    # extend it monotonically on both ends instead. Within a
+                    # batch rows are sorted above, so this only triggers for
+                    # late arrivals relative to state from a prior micro-batch;
+                    # a late event within the gap re-joins the open session.
+                    start_us = min(start_us, t)
+                    last_us = max(last_us, t)
+                    n += 1
             state.update((int(start_us), int(last_us), int(n)))
             if close_timeout_ms is not None:
                 state.setTimeoutDuration(close_timeout_ms)

@@ -140,3 +140,21 @@ def test_cli_curate_end_to_end(spark, tmp_table_dir, sf_dir):
     # multi-doc packs must fit the window; only single oversize docs may not
     bad = per_pack.filter((F.col("tot") > 128) & (F.col("n") > 1)).count()
     assert bad == 0
+
+
+def test_cli_dedup_rejects_text_format(tmp_table_dir, sf_dir):
+    """--format text can't hold the multi-column kept corpus: the job must
+    refuse up front (rc=2), before any dedup compute or partial output."""
+    import os
+
+    from gobblin_spark.cli import main
+
+    out = os.path.join(tmp_table_dir, "kept_bad")
+    rc = main([
+        "dedup",
+        "--input", os.path.join(sf_dir, "documents.parquet"),
+        "--output", out,
+        "--format", "text",
+    ])
+    assert rc == 2
+    assert not os.path.exists(out)

@@ -529,3 +529,77 @@ def test_pack_sequences_greedy_semantics(spark):
     assert got[4] == (0, 3)
     assert got[10] == (1, 0) and got[11] == (1, 0)
     assert got[12] == (1, 1)
+
+
+def test_err_path_requires_run_id(spark):
+    """The quarantine write path must refuse to run without a run_id — a
+    plain append would duplicate rows on crash-replay."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from gobblin_spark.operators.quality import (
+        PolicyType,
+        RowLevelPolicy,
+        RowLevelPolicyChecker,
+    )
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2 == 0).alias("bad"))
+    pol = [RowLevelPolicy("no_bad", ~F.col("bad"), PolicyType.ERR_FILE)]
+    chk = RowLevelPolicyChecker(pol, err_path="/tmp/unused-err")
+    with pytest.raises(ValueError, match="run_id"):
+        chk.execute(df)
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """Exhausting max_iter without the label-sum fixpoint must raise, not
+    silently publish partially-merged clusters."""
+    import pytest
+
+    from gobblin_spark.operators.dedup import connected_components
+
+    # a long chain needs ~log2(diameter) rounds; max_iter=1 can't converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
+def test_pack_sequences_zero_token_and_negative_ids(spark):
+    """Oracle-parity edge cases: (a) leading zero-token docs followed by an
+    oversize doc roll to a new pack (unconditional acc+t>window, matching
+    the recursive CTE); (b) the FIRST doc of a bucket is always pack 0 even
+    if oversize; (c) bucket ids use integer division that agrees with
+    DuckDB's `//` (truncation toward zero) for negative ids."""
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.operators.packing import pack_sequences
+
+    rows = [
+        # bucket 0, window 10: first doc oversize -> still pack 0
+        (0, 99),
+        (1, 0),                 # 99+0 > 10 -> pack 1
+        (2, 4),                 # 0+4 <= 10 -> stays pack 1
+        # bucket 1: zero-token leads, then oversize
+        (10, 0),                # first row -> pack 0, acc=0
+        (11, 0),                # 0+0 <= 10 -> pack 0
+        (12, 25),               # 0+25 > 10 -> pack 1 (oracle CTE semantics)
+        # negative id: DuckDB -17 // 10 == -1 (truncate toward zero;
+        # floor would give -2) — isolated in its own bucket
+        (-17, 3),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    got = {
+        r["doc_id"]: (r["bucket"], r["pack_idx"])
+        for r in pack_sequences(
+            df, "doc_id", F.col("n"), window_tokens=10, bucket_size=10
+        ).collect()
+    }
+    assert got[0] == (0, 0)
+    assert got[1] == (0, 1)
+    assert got[2] == (0, 1)
+    assert got[10] == (1, 0)
+    assert got[11] == (1, 0)
+    assert got[12] == (1, 1)
+    assert got[-17] == (-1, 0)  # truncation toward zero, matching DuckDB //

@@ -121,3 +121,63 @@ def test_streaming_sessionize_matches_batch_closed_sessions(
     }
     assert got == expected
     assert len(expected) == 4 * 2  # 2 closed sessions per user
+
+
+def test_streaming_sessionize_out_of_order_across_batches(
+    spark, tmp_table_dir
+):
+    """Cross-batch disorder: an event OLDER than the stored last_us must
+    extend the open session monotonically (min start / max last), never
+    regress it — a regressed last_us would let a later in-order event
+    falsely exceed the gap and split the session."""
+    import glob
+    import shutil
+
+    from gobblin_spark.streaming.sessions import streaming_sessionize
+
+    src = os.path.join(tmp_table_dir, "ooo_src")
+    os.makedirs(src)
+
+    def _write_batch(name, rows, mtime):
+        stage = os.path.join(tmp_table_dir, f"stage_{name}")
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))  # file source orders by mtime
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: in-order events 10:00, 10:10
+    _write_batch("a", [(1, t(10, 0)), (1, t(10, 10))], 1_000_000_000)
+    # batch 2: 10:05 arrives LATE (older than stored last 10:10), then
+    # 13:00 (> 1h gap after 10:10) closes the session
+    _write_batch("b", [(1, t(10, 5)), (1, t(13, 0))], 1_000_001_000)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    closed = streaming_sessionize(
+        stream, gap_seconds=3600, close_timeout_ms=None
+    )
+    q = (
+        closed.writeStream.format("memory")
+        .queryName("ooo_sessions")
+        .option(
+            "checkpointLocation", os.path.join(tmp_table_dir, "ooo_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = [
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM ooo_sessions").collect()
+    ]
+    # exactly ONE closed session: 10:00-10:10 with all 3 events (the late
+    # 10:05 folded in); the 13:00 session remains open (no timers)
+    assert got == [(1, t(10, 0), t(10, 10), 3)]

@@ -424,3 +424,20 @@ def test_jdbc_pull_against_embedded_derby(spark, tmp_table_dir):
     got = read_current(LakeTable(spark, table_root)).select(
         "repo", "path", "commit", "lang", "content")
     assert_matches_oracle(got, db)
+
+
+def test_pool_limiter_permits():
+    """PoolBasedLimiter: permits checked out at planning, released by the
+    post-commit consume — bounds in-flight records, never goes negative."""
+    from gobblin_spark.plans.limiter import PoolBasedLimiter
+
+    lim = PoolBasedLimiter(1000)
+    assert lim.available() == 1000
+    lim.acquire(600)
+    assert lim.available() == 400
+    lim.acquire(600)  # over-commit allowed; pool just reports 0 free
+    assert lim.available() == 0
+    lim.consume(600)
+    assert lim.available() == 400
+    lim.consume(900)  # release more than outstanding clamps at full pool
+    assert lim.available() == 1000
