@@ -254,3 +254,28 @@ def test_commit_fs_abstraction_is_complete(spark, tmp_table_dir):
     assert fs.publishes == before + 1
     # idempotent re-commit: conflict mapped to False, not an exception
     assert not st.commit_batch("b1", [WorkUnitState("w1", "b1", 0, -1, 10)], 1)
+
+
+def test_commit_path_has_no_driver_footer_reads(spark, tmp_table_dir,
+                                                monkeypatch):
+    """Scale guard: file stats must be collected executor-side (one
+    distributed scan grouped on _metadata), never via driver-side pyarrow
+    footer reads — at 10^5 files those are 10^5 driver round trips per
+    commit. Poison pq.ParquetFile for the duration of a write+commit."""
+    import pyarrow.parquet as pq
+
+    def _poison(*a, **k):
+        raise AssertionError(
+            "driver-side parquet footer read in the commit path")
+
+    monkeypatch.setattr(pq, "ParquetFile", _poison)
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["repo", "path"],
+                         n_buckets=4)
+    snap = t.append(make_df(spark, 200), seq_col="__seq")
+    # stats are still complete: rows, bytes, bucket, seq range, tombstones
+    assert sum(f.rows for f in snap.files) == 200
+    assert all(f.bytes > 0 for f in snap.files)
+    assert all(0 <= f.bucket < 4 for f in snap.files)
+    assert min(f.min_seq for f in snap.files) == 0
+    assert max(f.max_seq for f in snap.files) == 199
+    assert all(f.has_tombstones is False for f in snap.files)
