@@ -143,6 +143,15 @@ class Snapshot:
     # TimePartitionedDataPublisher). Files record their partition value;
     # reads prune on it.
     partition_spec: dict[str, str] | None = None
+    # Iceberg-style manifest sharding: when set, the snapshot JSON stores
+    # only [{"name": "m-<uuid>.json", "n": count}] refs and the file list
+    # lives in immutable shard files — commit cost is O(delta), not
+    # O(live files). None = legacy inline "files" manifest.
+    shard_refs: list[dict[str, Any]] | None = None
+    # transient: (shard_name, [DataFile]) pairs as loaded — lets the next
+    # commit reuse untouched shards byte-for-byte. Never serialized.
+    shard_map: list[tuple[str, list["DataFile"]]] | None = field(
+        default=None, repr=False, compare=False)
 
     @property
     def schema(self) -> StructType:
@@ -155,7 +164,7 @@ class Snapshot:
         return self.key_cols if self.key_cols else self.bucket_cols
 
     def to_json(self) -> dict[str, Any]:
-        return {
+        out = {
             "version": self.version,
             "parent": self.parent,
             "timestamp_ms": self.timestamp_ms,
@@ -167,11 +176,18 @@ class Snapshot:
             "key_cols": self.key_cols,
             "partition_spec": self.partition_spec,
             "properties": self.properties,
-            "files": [f.to_json() for f in self.files],
         }
+        if self.shard_refs is not None:
+            out["shards"] = self.shard_refs
+        else:
+            out["files"] = [f.to_json() for f in self.files]
+        return out
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "Snapshot":
+        """Sharded manifests ('shards' key) come back with files=[] — the
+        caller (LakeTable.snapshot) resolves the shard refs through its
+        CommitFs and fills files + shard_map."""
         return Snapshot(
             version=d["version"],
             parent=d.get("parent"),
@@ -184,7 +200,8 @@ class Snapshot:
             key_cols=d.get("key_cols"),
             partition_spec=d.get("partition_spec"),
             properties=d.get("properties", {}),
-            files=[DataFile.from_json(f) for f in d["files"]],
+            shard_refs=d.get("shards"),
+            files=[DataFile.from_json(f) for f in d.get("files", [])],
         )
 
 
@@ -211,6 +228,8 @@ class LakeTable:
         self.spark = spark
         self.root = root
         self.fs = fs or DEFAULT_FS
+        # shard files are immutable once published → cache by name
+        self._shard_cache: dict[str, list[DataFile]] = {}
 
     # ---------------------------------------------------------------- paths
     @property
@@ -296,8 +315,43 @@ class LakeTable:
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"no snapshots at {self.root}")
-        return Snapshot.from_json(
+        snap = Snapshot.from_json(
             json.loads(self.fs.read(self._manifest_path(v))))
+        if snap.shard_refs is not None:
+            shard_map: list[tuple[str, list[DataFile]]] = []
+            files: list[DataFile] = []
+            for ref in snap.shard_refs:
+                flist = self._load_shard(ref["name"])
+                shard_map.append((ref["name"], flist))
+                files.extend(flist)
+            snap.files = files
+            snap.shard_map = shard_map
+        return snap
+
+    # --------------------------------------------------------------- shards
+    def _shard_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir, name)
+
+    def _load_shard(self, name: str) -> list[DataFile]:
+        cached = self._shard_cache.get(name)
+        if cached is None:
+            cached = [
+                DataFile.from_json(f)
+                for f in json.loads(self.fs.read(self._shard_path(name)))
+            ]
+            self._shard_cache[name] = cached
+        return list(cached)
+
+    def _write_shard(self, files: list[DataFile]) -> str:
+        """Publish an immutable manifest shard; uuid names never collide, so
+        a crashed commit only orphans a tiny JSON (vacuum removes it)."""
+        name = f"m-{uuid.uuid4().hex}.json"
+        self.fs.publish_if_absent(
+            json.dumps([f.to_json() for f in files]).encode(),
+            self._shard_path(name),
+        )
+        self._shard_cache[name] = list(files)
+        return name
 
     def history(self) -> list[Snapshot]:
         v = self.current_version() or 0
@@ -342,6 +396,9 @@ class LakeTable:
             )
         props = dict(base.properties)
         props.update(properties or {})
+        keep = list(keep_files)
+        add = list(add_files)
+        shard_map, shard_refs = self._shard_file_list(base, keep, add)
         snap = Snapshot(
             version=base.version + 1,
             parent=base.version,
@@ -354,10 +411,64 @@ class LakeTable:
             key_cols=base.key_cols,
             partition_spec=base.partition_spec,
             properties=props,
-            files=list(keep_files) + list(add_files),
+            files=[f for _, fl in shard_map for f in fl],
+            shard_refs=shard_refs,
+            shard_map=shard_map,
         )
         self._publish_manifest(snap)
         return snap
+
+    # Bound on referenced shards per snapshot: a pure-append workload adds
+    # one shard per commit; when the count exceeds _MAX_SHARDS the commit
+    # coalesces the smallest shards down to _COALESCE_TO. Amortized commit
+    # cost stays O(delta + table/_MAX_SHARDS).
+    _MAX_SHARDS = 64
+    _COALESCE_TO = 32
+
+    def _shard_file_list(
+        self, base: Snapshot, keep: list[DataFile], add: list[DataFile]
+    ) -> tuple[list[tuple[str, list[DataFile]]], list[dict[str, Any]]]:
+        """Assemble the new snapshot's shard set with O(delta) writes:
+
+        - base shards whose files are ALL kept are referenced byte-for-byte
+          (no read, no write — the ref is carried over);
+        - base shards that lost files are rewritten with their survivors;
+        - add_files (plus any kept file not present in base, e.g. carried
+          in from a branch) land in ONE new shard.
+
+        ≙ Iceberg's manifest-list reuse; replaces the single inline file
+        list whose rewrite made every commit O(live files).
+        """
+        keep_paths = {f.path for f in keep}
+        leftover: dict[str, DataFile] = {f.path: f for f in keep}
+        base_shards = base.shard_map
+        if base_shards is None:
+            # legacy inline manifest (or fresh table): treat the inline list
+            # as one pseudo-shard that always needs rewriting
+            base_shards = [("", base.files)] if base.files else []
+        shard_map: list[tuple[str, list[DataFile]]] = []
+        for name, flist in base_shards:
+            kept_here = [f for f in flist if f.path in keep_paths]
+            for f in kept_here:
+                leftover.pop(f.path, None)
+            if not kept_here:
+                continue
+            if len(kept_here) == len(flist) and name:
+                shard_map.append((name, flist))  # untouched: reuse ref
+            else:
+                shard_map.append((self._write_shard(kept_here), kept_here))
+        new = add + list(leftover.values())
+        if new:
+            shard_map.append((self._write_shard(new), new))
+        if len(shard_map) > self._MAX_SHARDS:
+            shard_map.sort(key=lambda item: len(item[1]))
+            n_merge = len(shard_map) - self._COALESCE_TO + 1
+            merged = [f for _, fl in shard_map[:n_merge] for f in fl]
+            shard_map = shard_map[n_merge:]
+            if merged:
+                shard_map.append((self._write_shard(merged), merged))
+        refs = [{"name": name, "n": len(fl)} for name, fl in shard_map]
+        return shard_map, refs
 
     # ---------------------------------------------------------------- write
     def write_data_files(
@@ -645,17 +756,27 @@ class LakeTable:
     # ------------------------------------------------------------- maintain
     def vacuum(self) -> int:
         """Delete data files not referenced by any snapshot (orphans from
-        failed writes) — ≙ cleanupStagingData (AbstractJobLauncher.java:706)."""
+        failed writes) — ≙ cleanupStagingData (AbstractJobLauncher.java:706).
+        Also removes manifest shards no snapshot references (orphans from
+        commits that crashed between shard write and manifest publish)."""
         live: set[str] = set()
+        live_shards: set[str] = set()
         for snap in self.history():
             for f_ in snap.files:
                 live.add(os.path.normpath(os.path.join(self.root, f_.path)))
+            for name, _fl in snap.shard_map or []:
+                live_shards.add(name)
         removed = 0
         data_root = os.path.join(self.root, _DATA)
         for full in self.fs.walk_files(data_root):
             full = os.path.normpath(full)
             if full.endswith(".parquet") and full not in live:
                 self.fs.remove(full)
+                removed += 1
+        for name in self.fs.listdir(self._meta_dir):
+            if name.startswith("m-") and name.endswith(".json") \
+                    and name not in live_shards:
+                self.fs.remove(self._shard_path(name))
                 removed += 1
         self.fs.prune_empty_dirs(data_root)
         return removed

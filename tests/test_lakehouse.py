@@ -234,7 +234,8 @@ def test_commit_fs_abstraction_is_complete(spark, tmp_table_dir):
     t = LakeTable.create(spark, tmp_table_dir + "/t", SCHEMA,
                          ["repo", "path"], n_buckets=2, fs=fs)
     t.append(make_df(spark, 10))
-    assert fs.publishes == 2  # create + append manifests
+    # create manifest + append's new shard + append manifest
+    assert fs.publishes == 3
     assert t.read().count() == 10
 
     # concurrent-commit conflict still surfaces through the abstraction
@@ -279,3 +280,90 @@ def test_commit_path_has_no_driver_footer_reads(spark, tmp_table_dir,
     assert min(f.min_seq for f in snap.files) == 0
     assert max(f.max_seq for f in snap.files) == 199
     assert all(f.has_tombstones is False for f in snap.files)
+
+
+def test_manifest_sharding_reuses_untouched_shards(spark, tmp_table_dir):
+    """Commit cost must be O(delta): an append reuses every base shard ref
+    byte-for-byte and writes exactly ONE new shard; a partial rewrite only
+    rewrites the shards that lost files."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["repo", "path"],
+                         n_buckets=4)
+    t.append(make_df(spark, 40), seq_col="__seq")
+    t.append(make_df(spark, 40, seq0=100), seq_col="__seq")
+    snap = t.snapshot()
+    assert snap.shard_refs is not None and len(snap.shard_refs) == 2
+    names_before = [r["name"] for r in snap.shard_refs]
+
+    # pure append: both existing shard refs carried over verbatim
+    t.append(make_df(spark, 40, seq0=200), seq_col="__seq")
+    snap2 = t.snapshot()
+    names_after = [r["name"] for r in snap2.shard_refs]
+    assert names_before == names_after[:2] and len(names_after) == 3
+    assert t.read().count() == 120
+
+    # drop one file from the FIRST shard only: shard 1 rewritten, 2-3 reused
+    victim = snap2.shard_map[0][1][0]
+    keep = [f for f in snap2.files if f.path != victim.path]
+    t.commit(keep_files=keep, add_files=[],
+             expected_version=snap2.version)
+    snap3 = t.snapshot()
+    names3 = {r["name"] for r in snap3.shard_refs}
+    # the two untouched shards are reused verbatim; the shard that lost a
+    # file is replaced by exactly one new shard
+    assert set(names_after) & names3 == set(names_after[1:])
+    assert len(names3) == 3
+    assert len(snap3.files) == len(snap2.files) - 1
+
+
+def test_manifest_shard_coalescing_bounds_shard_count(spark, tmp_table_dir):
+    """Many small appends must not grow the shard list unboundedly: past
+    _MAX_SHARDS the commit folds the smallest shards together."""
+    from gobblin_spark.lakehouse.table import DataFile
+
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["repo", "path"],
+                         n_buckets=4)
+    # synthetic 1-file commits (metadata-only; no need for real parquet)
+    for i in range(LakeTable._MAX_SHARDS + 20):
+        snap = t.snapshot()
+        t.commit(
+            keep_files=snap.files,
+            add_files=[DataFile(path=f"data/x/{i}.parquet", bucket=0,
+                                rows=1, bytes=10, schema_version=1)],
+            expected_version=snap.version,
+        )
+    snap = t.snapshot()
+    assert len(snap.shard_refs) <= LakeTable._MAX_SHARDS
+    assert len(snap.files) == LakeTable._MAX_SHARDS + 20  # nothing lost
+    # refs record counts consistent with shard contents
+    assert all(r["n"] == len(fl)
+               for r, (_, fl) in zip(snap.shard_refs, snap.shard_map))
+
+
+def test_vacuum_removes_orphan_shards(spark, tmp_table_dir, monkeypatch):
+    """A commit that crashes between shard write and manifest publish must
+    leave only vacuumable shard orphans — never a visible state change."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, ["repo", "path"],
+                         n_buckets=4)
+    t.append(make_df(spark, 20), seq_col="__seq")
+    v = t.snapshot().version
+
+    real = LakeTable._publish_manifest
+
+    def boom(self, snap):
+        raise RuntimeError("crash between shard write and manifest publish")
+
+    monkeypatch.setattr(LakeTable, "_publish_manifest", boom)
+    with pytest.raises(RuntimeError):
+        t.append(make_df(spark, 20, seq0=500), seq_col="__seq")
+    monkeypatch.setattr(LakeTable, "_publish_manifest", real)
+
+    assert t.snapshot().version == v  # nothing published
+    meta = os.path.join(tmp_table_dir, "_meta")
+    orphans_before = {n for n in os.listdir(meta) if n.startswith("m-")}
+    removed = t.vacuum()
+    assert removed > 0  # orphan shard + orphan data files gone
+    live_names = {r["name"] for r in t.snapshot().shard_refs or []}
+    left = {n for n in os.listdir(meta) if n.startswith("m-")}
+    assert left == live_names
+    assert left < orphans_before
+    assert t.read().count() == 20
