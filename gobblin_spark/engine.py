@@ -180,6 +180,7 @@ class CdcEngine:
         plan_partitioning: bool = True,
         limiter=None,
         delta_distribution: str = "cluster",
+        fs=None,
     ):
         """merge_mode: 'cow' rewrites affected buckets per batch (zero read
         amplification); 'mor' appends delta files per batch and compacts
@@ -192,7 +193,10 @@ class CdcEngine:
         self.spark = spark
         self._events = events
         self.registry = registry or default_registry()
-        self.store = StateStore(state_root)
+        # fs: a CommitFs for ALL commit-protocol I/O (state store + table
+        # manifests) — swap in ObjectStoreFs/an S3 impl to run the engine
+        # off POSIX without touching job code
+        self.store = StateStore(state_root, fs=fs)
         if target_bins is None:
             target_bins = spark.sparkContext.defaultParallelism
         self.planner = Planner(
@@ -217,8 +221,8 @@ class CdcEngine:
         # (≙ RowCountPolicy/RowCountRangePolicy gating TaskPublisher.canPublish)
         self.task_policies = task_policies or []
         self.plan_partitioning = plan_partitioning
-        if LakeTable.exists(table_root):
-            self.table = LakeTable(spark, table_root)
+        if LakeTable.exists(table_root, fs=fs):
+            self.table = LakeTable(spark, table_root, fs=fs)
         else:
             self.table = LakeTable.create(
                 spark,
@@ -228,6 +232,7 @@ class CdcEngine:
                 n_buckets=n_buckets,
                 properties={"registry_version": 1},
                 key_cols=KEYS,
+                fs=fs,
             )
 
     # ------------------------------------------------------------------ api

@@ -24,13 +24,16 @@ Implementations / strategies:
   exists.) Everything else here (list/read/delete) maps 1:1 onto
   ``FileSystem`` calls.
 
-- S3 / object stores (strategy): conditional PUT with ``If-None-Match: *``
-  (supported by S3 since 2024, and by GCS via ``x-goog-if-generation-match:
-  0``) gives the same exactly-one-winner PUT; map the 412 Precondition
-  Failed response to the conflict signal. On object stores WITHOUT
-  conditional writes, the standard fallback is a DynamoDB/JDBC-style commit
-  coordinator holding the version counter — the table format is unchanged,
-  only publish_if_absent is.
+- ``ObjectStoreFs`` (implemented): S3/GCS-shaped semantics — conditional
+  PUT with ``If-None-Match: *`` (supported by S3 since 2024, and by GCS via
+  ``x-goog-if-generation-match: 0``) gives the same exactly-one-winner
+  publish; 412 Precondition Failed maps to the conflict signal. No link(2),
+  no rename-into-place, prefix listings, no directories. Backed by local
+  disk here so the whole engine test-drives over it; a real S3/GCS port
+  swaps the four I/O calls for client-library calls. On object stores
+  WITHOUT conditional writes, the standard fallback is a DynamoDB/JDBC-style
+  commit coordinator holding the version counter — the table format is
+  unchanged, only publish_if_absent is.
 
 All paths are plain strings; the interface is intentionally tiny and
 synchronous — commits are O(manifest) metadata operations on the driver.
@@ -136,6 +139,88 @@ class LocalFs(CommitFs):
         for dirpath, dirnames, names in os.walk(root, topdown=False):
             if not dirnames and not names and dirpath != root:
                 shutil.rmtree(dirpath, ignore_errors=True)
+
+
+class ObjectStoreFs(CommitFs):
+    """Object-store-semantics implementation (S3 / GCS shaped), backed by
+    the local disk so it runs everywhere — the engine-visible CONTRACT is
+    exactly what a conditional-PUT object store gives you, and none of the
+    POSIX affordances LocalFs leans on:
+
+    - ``publish_if_absent`` is a SINGLE conditional create
+      (``O_CREAT|O_EXCL`` — the local analog of S3 ``PUT If-None-Match: *``
+      / GCS ``x-goog-if-generation-match: 0``): no staging file, no
+      link(2), no rename-into-place; EEXIST is the 412-Precondition-Failed
+      conflict signal. Exactly one racing writer wins.
+    - ``write_replace`` is an atomic whole-object PUT (emulated with a
+      private temp + ``os.replace`` because POSIX has no atomic
+      whole-file write; on a real store this is just PUT).
+    - Directories don't exist: ``prune_empty_dirs`` is a no-op, listings
+      are prefix LISTs, and ``exists`` on a "directory" means "some key
+      has this prefix" (what s3a emulates). ``makedirs`` only materializes
+      the local parent so the backing disk can hold the key — on a real
+      store it would be a no-op.
+
+    A real S3/GCS port subclasses this and swaps the four I/O calls for
+    boto3/gcs-client calls; everything above the CommitFs interface
+    (LakeTable, StateStore, the engine) is untouched — ≙ porting the
+    publish contract of StunlockPartitionedHiveDataPublisher.java:137-163
+    off HDFS without touching job code."""
+
+    def publish_if_absent(self, content: bytes, target: str) -> None:
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise CommitConflict(target) from exc
+        try:
+            os.write(fd, content)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    def write_replace(self, content: bytes, target: str) -> None:
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        tmp = os.path.join(os.path.dirname(target),
+                           f".put-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, target)  # emulation of the atomic whole-object PUT
+
+    def read(self, path: str) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    def exists(self, path: str) -> bool:
+        # object stores have no directories: a "directory" exists iff some
+        # key carries the prefix — os.path.isdir on the backing disk plays
+        # that role; a plain key is a HEAD
+        return os.path.exists(path)
+
+    def listdir(self, path: str) -> list[str]:
+        # LIST with delimiter='/' — first-level key components under prefix
+        if not os.path.isdir(path):
+            return []
+        return os.listdir(path)
+
+    def walk_files(self, root: str) -> Iterator[str]:
+        # LIST without delimiter: every key under the prefix
+        for dirpath, _d, names in os.walk(root):
+            for name in names:
+                yield os.path.join(dirpath, name)
+
+    def remove(self, path: str) -> None:
+        os.unlink(path)
+
+    def makedirs(self, path: str) -> None:
+        # no-op semantically (no directories); materialize locally so the
+        # backing disk can hold keys under the prefix
+        os.makedirs(path, exist_ok=True)
+
+    def prune_empty_dirs(self, root: str) -> None:
+        """No-op: object stores have no empty directories to prune."""
 
 
 DEFAULT_FS = LocalFs()
