@@ -174,7 +174,8 @@ class CdcEngine:
         row_policies: list[RowLevelPolicy] | None = None,
         err_path: str | None = None,
         merge_mode: str = "cow",
-        compact_every: int = 8,
+        compact_every: int | None = 8,
+        compact_delta_ratio: float | None = 0.25,
         gc_after_compact: bool = True,
         task_policies: list | None = None,
         plan_partitioning: bool = True,
@@ -214,7 +215,16 @@ class CdcEngine:
         self.merge_mode = merge_mode
         assert delta_distribution in ("cluster", "fanout")
         self.delta_distribution = delta_distribution
+        # Compaction triggers (MOR), OR'd — ≙ MRCompactor.java:147-157,
+        # which recompacts a partition when late-records/total exceeds a
+        # threshold rather than on a fixed schedule:
+        # - compact_delta_ratio: compact when outstanding delta rows /
+        #   reduced base rows >= ratio (the adaptive, workload-shaped
+        #   trigger: heavy late/out-of-band delivery compacts early, quiet
+        #   streams never pay a rewrite). None disables.
+        # - compact_every: fixed batch-count fallback cap. None disables.
         self.compact_every = compact_every
+        self.compact_delta_ratio = compact_delta_ratio
         self.gc_after_compact = gc_after_compact
         self._batches_since_compact = 0
         # task-level publish gates: each has .check(rows_read) -> bool
@@ -431,7 +441,7 @@ class CdcEngine:
             tp = mark("merge_apply", tp)
             if self.merge_mode == "mor":
                 self._batches_since_compact += 1
-                if self._batches_since_compact >= self.compact_every:
+                if self._should_compact(snap):
                     # Tombstone GC rides the compaction rewrite: seq is
                     # DELIVERY order and planning only ever admits seq >
                     # committed watermark, so no event at or below the
@@ -487,6 +497,23 @@ class CdcEngine:
             hot_repos=hot,
             phase_ms=phase_ms,
         )
+
+    def _should_compact(self, snap) -> bool:
+        """Adaptive compaction decision from manifest metadata only (O(files)
+        driver math, no scan): outstanding-delta ratio OR batch-count cap."""
+        if self.compact_delta_ratio is not None:
+            delta_rows = sum(f.rows for f in snap.files if not f.reduced)
+            base_rows = sum(f.rows for f in snap.files if f.reduced)
+            # ratio is late-data pressure against an ESTABLISHED base; a
+            # bootstrapping table (no reduced files yet) compacts via the
+            # count cap, not a division against zero
+            if base_rows > 0 and delta_rows > 0 and (
+                    delta_rows / base_rows >= self.compact_delta_ratio):
+                return True
+        if self.compact_every is not None and \
+                self._batches_since_compact >= self.compact_every:
+            return True
+        return False
 
     def run_until_caught_up(self, max_batches: int = 1000) -> list[BatchResult]:
         """Loop run_batch until the planner admits nothing. With a limiter

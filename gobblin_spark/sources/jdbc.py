@@ -45,21 +45,56 @@ from gobblin_spark.plans.time_partition import (
 )
 
 
+import re as _re
+
+# SQL identifier (optionally schema-qualified; segments may be double-
+# quoted ANSI style or backtick-quoted MySQL style): the ONLY unvalidated
+# config reaching a predicate string is the column name — values are
+# internally generated watermark literals, but a malicious/typo'd column
+# could smuggle SQL, so it is allowlist-validated here.
+_IDENT_SEG = (r'([A-Za-z_][A-Za-z0-9_$]*'
+              r'|"[A-Za-z_][A-Za-z0-9_$ ]*"'
+              r'|`[A-Za-z_][A-Za-z0-9_$ ]*`)')
+_SQL_IDENT = _re.compile(rf"^{_IDENT_SEG}(\.{_IDENT_SEG})*$")
+
+
+def _column_expr(column: str) -> str:
+    """Validated column expression; a comma-separated list becomes
+    COALESCE(...) — ≙ Utils.getCoalesceColumnNames
+    (gobblin-core/.../extractor/utils/Utils.java), which both
+    MysqlExtractor and SqlServerExtractor apply to the watermark column."""
+    parts = [c.strip() for c in column.split(",")]
+    for c in parts:
+        if not _SQL_IDENT.match(c):
+            raise ValueError(
+                f"invalid SQL identifier in watermark column: {c!r}")
+    if len(parts) > 1:
+        return f"COALESCE({', '.join(parts)})"
+    return parts[0]
+
+
 def watermark_condition(
     column: str, value: int, watermark_type: WatermarkType, operator: str
 ) -> str:
-    """One side of a partition predicate (≙ the extractor dialect methods:
-    TimestampWatermarkTest expects "my_column >= '2014-10-29 13:30:15'")."""
+    """One side of a partition predicate (≙ the extractor dialect methods —
+    MysqlExtractor.java:62-80 / SqlServerExtractor.java:275-293, which
+    share the same literal formats: timestamp 'yyyy-MM-dd HH:mm:ss', date
+    'yyyy-MM-dd'; TimestampWatermarkTest expects
+    "my_column >= '2014-10-29 13:30:15'")."""
+    col = _column_expr(column)
     if watermark_type == WatermarkType.SIMPLE:
-        return f"{column} {operator} {value}"
+        return f"{col} {operator} {value}"
     dt = wm_to_dt(value)
     if watermark_type == WatermarkType.TIMESTAMP:
         lit = dt.strftime("%Y-%m-%d %H:%M:%S")
     elif watermark_type == WatermarkType.DATE:
         lit = dt.strftime("%Y-%m-%d")
-    else:  # HOUR — no standard SQL hour literal: compare at timestamp grain
+    else:  # HOUR — documented deviation from the reference's bare 'HH'
+        # literal (MysqlExtractor.java:62-66): comparing only the hour-of-
+        # day is ambiguous across days against a timestamp column, so the
+        # predicate compares at timestamp grain instead
         lit = dt.strftime("%Y-%m-%d %H:%M:%S")
-    return f"{column} {operator} '{lit}'"
+    return f"{col} {operator} '{lit}'"
 
 
 @dataclass

@@ -250,3 +250,50 @@ def test_mor_fanout_distribution_matches_oracle(spark, tmp_table_dir):
     final = eng.current_state().select("repo", "path", "commit", "lang",
                                        "content")
     assert_frames_equal_by_sha(final.toPandas(), oracle_final(ev.toPandas()))
+
+
+def test_adaptive_compaction_delta_ratio_trigger(spark, tmp_table_dir):
+    """≙ MRCompactor.java:147-157 late-ratio recompaction: a heavy burst of
+    deltas relative to the base triggers compaction EARLY (before any
+    batch-count cap), while a quiet stream whose deltas stay tiny never
+    pays the rewrite."""
+    from gobblin_spark.lakehouse.merge import compact
+
+    ev = events_fixture(spark, 2400)
+
+    # heavy: establish a base (first batch + explicit compact), then let
+    # 600-row delta batches hit a ~590-row base — ratio 0.25 trips on
+    # every batch with the count cap DISABLED (None)
+    heavy = make_engine(
+        spark, tmp_table_dir + "/heavy", ev, merge_mode="mor",
+        compact_every=None, compact_delta_ratio=0.25,
+    )
+    heavy.run_batch()
+    compact(heavy.table)
+    heavy.run_until_caught_up()
+    snap = heavy.table.snapshot()
+    assert all(f.reduced for f in snap.files)  # no outstanding deltas
+    assert int(snap.properties.get("mor_deltas", 1)) == 0
+
+    # quiet: same stream and base-establishing prefix, but the ratio is
+    # far above the workload → deltas accumulate, zero engine compactions
+    quiet = make_engine(
+        spark, tmp_table_dir + "/quiet", ev, merge_mode="mor",
+        compact_every=None, compact_delta_ratio=1000.0,
+    )
+    quiet.run_batch()
+    compact(quiet.table)
+    quiet.run_until_caught_up()
+    snap_q = quiet.table.snapshot()
+    assert any(not f.reduced for f in snap_q.files)  # deltas outstanding
+    # the engine never compacted (only the explicit base-establishing
+    # compact above ran, which sets no compacted_after property)
+    assert "compacted_after" not in snap_q.properties
+
+    # both serve the same converged state regardless of compaction policy
+    a = {(r["repo"], r["path"], r["commit"])
+         for r in heavy.current_state().collect()}
+    b = {(r["repo"], r["path"], r["commit"])
+         for r in quiet.current_state().collect()}
+    assert a == b
+    ev.unpersist()
