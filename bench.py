@@ -82,6 +82,10 @@ def main() -> None:
             n_buckets=max(32, CPUS),
             merge_mode=mode,
             compact_every=BATCHES,  # one in-loop compaction
+            # fixed schedule only: at dev SF each batch is ~1/BATCHES of the
+            # table, so the adaptive delta-ratio trigger (meant for the
+            # batch ≪ table production regime) would compact every batch
+            compact_delta_ratio=None,
         )
         t_warm = time.time()
         first = eng.run_batch()

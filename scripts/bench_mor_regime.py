@@ -106,6 +106,7 @@ def main() -> None:
             n_buckets=max(32, CPUS),
             merge_mode=mode,
             compact_every=SMALL_BATCHES,  # one amortized compaction in-loop
+            compact_delta_ratio=None,  # fixed schedule for the comparison
         )
         t_seed = time.time()
         eng.table.overwrite(

@@ -104,6 +104,7 @@ def run_level(cpus: int, events_path: str) -> dict:
         n_buckets=max(32, cpus),
         merge_mode="mor",  # headline mode (see bench.py rationale)
         compact_every=max(2, BATCHES // 2),
+        compact_delta_ratio=None,  # fixed schedule: batch ≈ table/BATCHES here
     )
     warm = eng.run_batch()  # JIT/codegen warm-up, excluded from timing
     c0 = _cpu_sample()

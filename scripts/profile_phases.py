@@ -50,6 +50,7 @@ def main():
         n_buckets=max(32, cpus),
         merge_mode=mode,
         compact_every=4,
+        compact_delta_ratio=None,  # fixed schedule: batch ≈ table/4 here
     )
     warm = eng.run_batch()
     print("warmup phases:", json.dumps(warm.phase_ms), file=sys.stderr)
