@@ -353,9 +353,19 @@ class LakeTable:
         self._shard_cache[name] = list(files)
         return name
 
+    def versions(self) -> list[int]:
+        """Retained snapshot versions, ascending (expired ones are gone —
+        the list is NOT necessarily contiguous from 1)."""
+        if not self.fs.exists(self._meta_dir):
+            return []
+        return sorted(
+            int(n[1 : 1 + _V_DIGITS])
+            for n in self.fs.listdir(self._meta_dir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
     def history(self) -> list[Snapshot]:
-        v = self.current_version() or 0
-        return [self.snapshot(i) for i in range(1, v + 1)]
+        return [self.snapshot(i) for i in self.versions()]
 
     # --------------------------------------------------------------- commit
     def _publish_manifest(self, snap: Snapshot) -> None:
@@ -754,6 +764,40 @@ class LakeTable:
         return {r["b"] for r in rows}
 
     # ------------------------------------------------------------- maintain
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> list[int]:
+        """Drop old snapshot manifests so ``vacuum`` can reclaim the data
+        files only they reference (≙ Iceberg's expire_snapshots; the
+        reference's analog is the state store retaining only recent job
+        states, FsDatasetStateStore current.jst aliasing).
+
+        Keeps the newest ``keep_last`` snapshots always; with
+        ``older_than_ms`` set, additionally keeps any snapshot committed at
+        or after that timestamp. Returns the expired version numbers.
+
+        Why this matters at 100 TB: without expiration, every COW rewrite
+        and compaction keeps its pre-image files live forever (vacuum
+        retains anything ANY snapshot references), so storage grows as the
+        integral of churn. Expiration is metadata-only and O(expired
+        manifests); the actual file reclaim stays vacuum's job, so a crash
+        between the two is harmless (expired-but-unvacuumed files are just
+        orphans). Time travel and ``table_changes`` to expired versions
+        raise FileNotFoundError."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.versions()
+        candidates = versions[:-keep_last] if keep_last else versions
+        expired = [
+            v
+            for v in candidates
+            if older_than_ms is None
+            or self.snapshot(v).timestamp_ms < older_than_ms
+        ]
+        for v in expired:
+            self.fs.remove(self._manifest_path(v))
+        return expired
+
     def vacuum(self) -> int:
         """Delete data files not referenced by any snapshot (orphans from
         failed writes) — ≙ cleanupStagingData (AbstractJobLauncher.java:706).

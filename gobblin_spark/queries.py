@@ -63,6 +63,142 @@ FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id
 """
 
 
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changelog read (table_changes): apply the events stream
+    to a REAL LakeTable in two watermark-bounded merge batches, then diff
+    the two committed snapshots — insert/update/delete rows per key
+    (≙ Iceberg incremental 'changes'; exercises the full bucket-pruned
+    snapshot-diff path end-to-end, not a reformulation)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import merge_lww, table_changes
+
+    ev = load(spark, sf_dir, "events")
+    stream = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    w1 = stream.agg(F.floor(F.max("seq") / 2).cast("long")).first()[0]
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("__seq", LongType()),
+        StructField("__deleted", BooleanType()),
+    ])
+    d = tempfile.mkdtemp(prefix="gs_changelog_")
+    try:
+        t = LakeTable.create(spark, f"{d}/table", schema, ["user_id"],
+                             n_buckets=8)
+        merge_lww(t, stream.filter(F.col("seq") <= w1), ["user_id"])
+        v1 = t.current_version()
+        merge_lww(t, stream.filter(F.col("seq") > w1), ["user_id"])
+        out = table_changes(t, v1).select(
+            "user_id",
+            F.col("_change_type").alias("change_type"),
+            F.col("__seq").alias("seq"),
+            "event_type",
+            F.round("value", 6).alias("value"),
+        ).orderBy("user_id")
+        # materialize before the temp table is removed (result is one row
+        # per CHANGED key — driver-small by construction)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_CDC_CHANGELOG = """
+WITH ev AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, value
+  FROM events),
+w AS (SELECT CAST(FLOOR(max(seq) / 2) AS BIGINT) AS w1 FROM ev),
+s1 AS (SELECT * FROM (
+  SELECT user_id, seq, op,
+         row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) rn
+  FROM ev WHERE seq <= (SELECT w1 FROM w)) WHERE rn = 1),
+s2 AS (SELECT * FROM (
+  SELECT user_id, seq, op, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) rn
+  FROM ev) WHERE rn = 1)
+SELECT s2.user_id,
+       CASE WHEN s2.op <> 'D' AND (s1.user_id IS NULL OR s1.op = 'D')
+              THEN 'insert'
+            WHEN s2.op <> 'D' AND s1.op <> 'D' AND s2.seq <> s1.seq
+              THEN 'update'
+            WHEN s2.op = 'D' AND s1.op <> 'D' THEN 'delete' END AS change_type,
+       s2.seq AS seq, s2.event_type, round(s2.value, 6) AS value
+FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+WHERE CASE WHEN s2.op <> 'D' AND (s1.user_id IS NULL OR s1.op = 'D')
+             THEN 'insert'
+           WHEN s2.op <> 'D' AND s1.op <> 'D' AND s2.seq <> s1.seq
+             THEN 'update'
+           WHEN s2.op = 'D' AND s1.op <> 'D' THEN 'delete' END IS NOT NULL
+ORDER BY s2.user_id
+"""
+
+
+def q_cdc_changelog_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same changelog semantics with MERGE-ON-READ applies and the deltas
+    left UNFOLDED — table_changes must LWW-resolve base+delta on both ends
+    and still match the oracle (the 100 TB apply path's read side)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import merge_lww_mor, table_changes
+
+    ev = load(spark, sf_dir, "events")
+    stream = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    w1 = stream.agg(F.floor(F.max("seq") / 2).cast("long")).first()[0]
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("__seq", LongType()),
+        StructField("__deleted", BooleanType()),
+    ])
+    d = tempfile.mkdtemp(prefix="gs_changelog_mor_")
+    try:
+        t = LakeTable.create(spark, f"{d}/table", schema, ["user_id"],
+                             n_buckets=8)
+        merge_lww_mor(t, stream.filter(F.col("seq") <= w1), ["user_id"])
+        v1 = t.current_version()
+        merge_lww_mor(t, stream.filter(F.col("seq") > w1), ["user_id"])
+        out = table_changes(t, v1).select(
+            "user_id",
+            F.col("_change_type").alias("change_type"),
+            F.col("__seq").alias("seq"),
+            "event_type",
+            F.round("value", 6).alias("value"),
+        ).orderBy("user_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics through the two-stage SALTED reduce path (hot-key
     handling) — must be value-identical to the plain path/oracle."""
@@ -1406,6 +1542,8 @@ ORDER BY user_id, session_idx
 QUERIES = {
     "cdc_lww_final_state": q_cdc_lww_final_state,
     "cdc_lww_salted": q_cdc_lww_salted,
+    "cdc_changelog": q_cdc_changelog,
+    "cdc_changelog_mor": q_cdc_changelog_mor,
     "plan_watermark_ranges": q_plan_watermark_ranges,
     "plan_time_watermark_daily": q_time_partition_daily,
     "plan_time_watermark_hourly": q_time_partition_hourly,
@@ -1447,6 +1585,8 @@ def oracle_sqls() -> dict[str, str]:
     return {
         "cdc_lww_final_state": SQL_CDC_LWW,
         "cdc_lww_salted": SQL_CDC_LWW,  # same semantics, salted path
+        "cdc_changelog": SQL_CDC_CHANGELOG,
+        "cdc_changelog_mor": SQL_CDC_CHANGELOG,  # same semantics, MOR path
         "plan_watermark_ranges": SQL_PLAN_WATERMARK,
         "plan_time_watermark_daily": SQL_TIME_PARTITION_DAILY,
         "plan_time_watermark_hourly": SQL_TIME_PARTITION_HOURLY,
