@@ -191,6 +191,56 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_changes(args) -> int:
+    """Incremental changelog read between two snapshots: emit the
+    insert/update/delete rows to stdout-count + an optional parquet sink
+    (the CDC-consumer side of the engine; see merge.table_changes)."""
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import table_changes
+
+    spark = _get_session(args)
+    table = LakeTable(spark, args.table)
+    to_v = args.to_version if args.to_version else None
+    df = table_changes(table, args.from_version, to_v)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        df = spark.read.parquet(args.out)  # count what was written
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in df.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(json.dumps({
+        "from_version": args.from_version,
+        "to_version": to_v or table.current_version(),
+        "changes": counts,
+        "total": sum(counts.values()),
+        "out": args.out or None,
+    }))
+    return 0
+
+
+def cmd_expire(args) -> int:
+    """Snapshot retention + storage reclaim: expire old manifests, then
+    vacuum the files only they referenced."""
+    from gobblin_spark.lakehouse import LakeTable
+
+    spark = _get_session(args)
+    table = LakeTable(spark, args.table)
+    expired = table.expire_snapshots(
+        keep_last=args.keep_last, older_than_ms=args.older_than_ms
+    )
+    removed = table.vacuum() if args.vacuum else 0
+    print(json.dumps({
+        "expired_versions": expired,
+        "retained_versions": table.versions(),
+        "files_reclaimed": removed,
+    }))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Near-dup corpus dedup as a launchable job: LSH pairs → connected
     components → keep one representative per cluster, staged-publish the
@@ -398,6 +448,29 @@ def main(argv: list[str] | None = None) -> int:
     vac.add_argument("--table", required=True)
     vac.add_argument("--local-cores", type=int, default=0)
 
+    ch = sub.add_parser(
+        "changes",
+        help="incremental changelog read: insert/update/delete rows "
+             "between two snapshots (bucket-pruned diff)",
+    )
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-version", type=int, required=True)
+    ch.add_argument("--to-version", type=int, default=0,
+                    help="default: current version")
+    ch.add_argument("--out", default="", help="optional parquet sink")
+    ch.add_argument("--local-cores", type=int, default=0)
+
+    ex = sub.add_parser(
+        "expire",
+        help="expire old snapshots (retention) and optionally vacuum the "
+             "files only they referenced",
+    )
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--keep-last", type=int, default=2)
+    ex.add_argument("--older-than-ms", type=int, default=None)
+    ex.add_argument("--no-vacuum", dest="vacuum", action="store_false")
+    ex.add_argument("--local-cores", type=int, default=0)
+
     dd = sub.add_parser(
         "dedup",
         help="near-dup corpus dedup: LSH -> connected components -> keep "
@@ -439,6 +512,7 @@ def main(argv: list[str] | None = None) -> int:
     return {"ingest": cmd_ingest, "tail": cmd_tail, "pull": cmd_pull,
             "status": cmd_status, "compact": cmd_compact,
             "vacuum": cmd_vacuum, "dedup": cmd_dedup,
+            "changes": cmd_changes, "expire": cmd_expire,
             "curate": cmd_curate}[args.cmd](args)
 
 
