@@ -79,6 +79,11 @@ class CommitFs:
         """All file paths under root (recursive)."""
         raise NotImplementedError
 
+    def mtime_ms(self, path: str) -> int:
+        """Last-modified time in epoch ms (object stores: Last-Modified /
+        generation metadata from the LIST — no extra round trip)."""
+        raise NotImplementedError
+
     def remove(self, path: str) -> None:
         raise NotImplementedError
 
@@ -128,6 +133,9 @@ class LocalFs(CommitFs):
         for dirpath, _d, names in os.walk(root):
             for name in names:
                 yield os.path.join(dirpath, name)
+
+    def mtime_ms(self, path: str) -> int:
+        return int(os.path.getmtime(path) * 1000)
 
     def remove(self, path: str) -> None:
         os.unlink(path)
@@ -210,6 +218,11 @@ class ObjectStoreFs(CommitFs):
         for dirpath, _d, names in os.walk(root):
             for name in names:
                 yield os.path.join(dirpath, name)
+
+    def mtime_ms(self, path: str) -> int:
+        # Last-Modified from the object metadata (generation on GCS); the
+        # backing disk's mtime plays that role here
+        return int(os.path.getmtime(path) * 1000)
 
     def remove(self, path: str) -> None:
         os.unlink(path)

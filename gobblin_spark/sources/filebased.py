@@ -34,6 +34,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gobblin_spark.fsio import CommitFs, DEFAULT_FS
+
 SPLIT = "|"
 
 
@@ -43,6 +45,12 @@ class FilePlan:
     files_to_pull: list[str]
     work_units: list[list[str]]  # files grouped into units
     snapshot: list[str] = field(default_factory=list)  # path|mtime entries
+    # run number claimed at PLAN time: commit publishes run-{seq} with
+    # publish-if-absent, so a concurrent planner that committed first makes
+    # this plan's commit fail loudly (its diff was computed against a stale
+    # snapshot) instead of silently clobbering. 0 = legacy (resolve at
+    # commit).
+    seq: int = 0
 
     @property
     def empty(self) -> bool:
@@ -55,9 +63,15 @@ class FileDiffSource:
         state_root: str,
         pattern: str = "*",
         max_partitions: int = 32,
+        fs: CommitFs | None = None,
     ):
+        """fs: all metadata I/O (listing the data dir, reading/publishing
+        run snapshots) goes through a CommitFs, so the source runs
+        unchanged over an object store (prefix LIST + Last-Modified stand
+        in for walk+mtime; see gobblin_spark/fsio.py)."""
+        self.fs = fs or DEFAULT_FS
         self.state_root = os.path.join(state_root, "fs_snapshots")
-        os.makedirs(self.state_root, exist_ok=True)
+        self.fs.makedirs(self.state_root)
         self.pattern = pattern
         self.max_partitions = max_partitions
 
@@ -66,19 +80,18 @@ class FileDiffSource:
         """Current listing as path|mtime entries (recursive, pattern-
         filtered, hidden/in-progress files skipped)."""
         out: list[str] = []
-        for dirpath, _d, names in os.walk(data_dir):
-            for name in sorted(names):
-                if name.startswith((".", "_")):
-                    continue
-                if not fnmatch.fnmatch(name, self.pattern):
-                    continue
-                full = os.path.join(dirpath, name)
-                out.append(f"{full}{SPLIT}{int(os.path.getmtime(full) * 1000)}")
+        for full in self.fs.walk_files(data_dir):
+            name = os.path.basename(full)
+            if name.startswith((".", "_")):
+                continue
+            if not fnmatch.fnmatch(name, self.pattern):
+                continue
+            out.append(f"{full}{SPLIT}{self.fs.mtime_ms(full)}")
         return sorted(out)
 
     def _committed_runs(self) -> list[str]:
         return sorted(
-            n for n in os.listdir(self.state_root)
+            n for n in self.fs.listdir(self.state_root)
             if n.startswith("run-") and n.endswith(".json")
         )
 
@@ -86,8 +99,9 @@ class FileDiffSource:
         runs = self._committed_runs()
         if not runs:
             return []
-        with open(os.path.join(self.state_root, runs[-1])) as fh:
-            return json.load(fh)["snapshot"]
+        doc = json.loads(
+            self.fs.read(os.path.join(self.state_root, runs[-1])))
+        return doc["snapshot"]
 
     # ----------------------------------------------------------------- plan
     def plan(self, data_dir: str) -> FilePlan:
@@ -106,6 +120,7 @@ class FileDiffSource:
             files_to_pull=to_pull,
             work_units=units,
             snapshot=current,
+            seq=len(self._committed_runs()) + 1,
         )
 
     # -------------------------------------------------------------- extract
@@ -126,20 +141,21 @@ class FileDiffSource:
             "files_pulled": plan.files_to_pull,
             "snapshot": plan.snapshot,
         }
-        tmp = os.path.join(self.state_root, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        seq = len(self._committed_runs()) + 1
-        os.replace(tmp, os.path.join(self.state_root, f"run-{seq:08d}.json"))
+        # publish-if-absent on the run number CLAIMED AT PLAN TIME: exactly
+        # one planner wins a concurrent race (CommitConflict for the loser,
+        # whose diff is stale) — stronger than the previous last-writer-wins
+        # os.replace, and portable to conditional-PUT object stores
+        seq = plan.seq or (len(self._committed_runs()) + 1)
+        self.fs.publish_if_absent(
+            json.dumps(doc).encode(),
+            os.path.join(self.state_root, f"run-{seq:08d}.json"),
+        )
 
     def lineage(self) -> list[dict]:
         """Per-run pulled-file lineage (which files entered which run)."""
         out = []
         for name in self._committed_runs():
-            with open(os.path.join(self.state_root, name)) as fh:
-                d = json.load(fh)
+            d = json.loads(self.fs.read(os.path.join(self.state_root, name)))
             out.append({"run_id": d["run_id"],
                         "files_pulled": d["files_pulled"]})
         return out

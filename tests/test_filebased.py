@@ -182,3 +182,41 @@ def test_file_diff_source_text_csv_json_formats(spark, tmp_table_dir):
         for r in src_js.read(spark, pj, fmt="json").collect()
     }
     assert rows == {(0, "n0"), (1, "n1"), (2, "n2")}
+
+
+def test_file_diff_source_over_object_store(spark, tmp_table_dir):
+    """The whole plan→read→commit→re-plan loop through ObjectStoreFs: no
+    POSIX walk/getmtime/replace anywhere in the source's metadata path, so
+    it runs unchanged against a conditional-PUT object store."""
+    from gobblin_spark.fsio import CommitConflict, ObjectStoreFs
+
+    data = os.path.join(tmp_table_dir, "incoming")
+    src = FileDiffSource(os.path.join(tmp_table_dir, "state"),
+                         pattern="*.parquet", max_partitions=4,
+                         fs=ObjectStoreFs())
+    _drop_file(spark, os.path.join(data, "a"), 0, 100)
+    p1 = src.plan(data)
+    assert len(p1.files_to_pull) == 1
+    assert src.read(spark, p1).count() == 100
+    src.commit(p1)
+
+    # delta-only re-plan
+    _drop_file(spark, os.path.join(data, "b"), 100, 150)
+    p2 = src.plan(data)
+    assert len(p2.files_to_pull) == 1 and "/b/" in p2.files_to_pull[0]
+    src.commit(p2)
+    assert src.plan(data).empty
+    assert len(src.lineage()) == 2
+
+    # racing planners: both plan against the same snapshot state, one
+    # commits first — the loser's commit must fail loudly (its diff is
+    # stale), not silently clobber the winner's snapshot
+    import pytest
+
+    twin = FileDiffSource(os.path.join(tmp_table_dir, "state"),
+                          pattern="*.parquet", fs=ObjectStoreFs())
+    pa = src.plan(data)
+    pb = twin.plan(data)
+    src.commit(pa)
+    with pytest.raises(CommitConflict):
+        twin.commit(pb)
