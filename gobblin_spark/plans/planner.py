@@ -116,12 +116,25 @@ class Planner:
         target_bins: int = 32,
         hot_key_threshold: float = 0.10,
         limiter=None,
+        max_window_factor: int = 64,
     ):
         self.store = store
         self.max_records_per_batch = max_records_per_batch
         self.max_records_per_unit = max_records_per_unit
         self.target_bins = target_bins
         self.hot_key_threshold = hot_key_threshold
+        # Density-adaptive admission: the record cap is converted to a seq
+        # window by dividing by the consumer's OBSERVED rows-per-seq density
+        # from committed history (store.observed_seq_density). A consumer
+        # owning 1/S of the event groups (sharded deployment) sees density
+        # ~1/S and gets an S×-wider window — batches stay cap-sized instead
+        # of splintering into S× more batches of cap/S rows, whose fixed
+        # per-batch cost would dominate at scale. max_window_factor bounds
+        # the widening (worst-case admission overshoot if density jumps
+        # back to 1 on a stale estimate: one oversized batch, self-corrects
+        # next commit — same staleness property as the reference's
+        # history-based size estimators).
+        self.max_window_factor = max_window_factor
         # admission control (≙ LimitingExtractorDecorator): trims the batch
         # cap to limiter.available(); the engine reports consumption after
         # commit
@@ -174,15 +187,23 @@ class Planner:
             # limiter exhausted: admit nothing this cycle
             return BatchPlan(batch_id=batch_id, units=[])
 
-        # 1. What's newly available per group? Pushdown BOTH bounds: seq is
-        # globally dense, so nothing past low + cap can enter this batch —
-        # the planning scan is O(cap) with parquet min/max pruning, not
+        # 1. What's newly available per group? Pushdown BOTH bounds — the
+        # planning scan is O(window) with parquet min/max pruning, not
         # O(all remaining events). Matters at 10^10 backlog.
+        # The window is the record cap divided by the consumer's observed
+        # rows-per-seq density (1.0 until the first commit): a consumer that
+        # owns a subset of event groups still fills its batches to the cap.
         # expr strings, not Column chains: py4j round-trips per operator are
         # per-batch serial driver time (see batch_predicate)
+        density = self.store.observed_seq_density()
+        if density and density > 0:
+            window = min(cap * self.max_window_factor,
+                         max(cap, int(cap / density)))
+        else:
+            window = cap
         fresh = events.filter(
             F.expr(f"seq > {int(global_low)}"
-                   f" AND seq <= {int(global_low + cap)}")
+                   f" AND seq <= {int(global_low + window)}")
         )
         sv = ("schema_version" if "schema_version" in events.columns
               else "1")
@@ -206,8 +227,8 @@ class Planner:
             {int(v) for r in stats_rows for v in (r["svs"] or [1])}
         ) or [1]
 
-        # 2. Global admission cap: seq is globally dense, so a seq span is a
-        # record count; trim high to low + cap.
+        # 2. Global admission cap: trim high to low + window (a seq span ≈
+        # window × density records — cap-sized by construction).
         # A group with no committed watermark starts at global_low, not -1:
         # the scan has covered everything <= global_low in earlier windows,
         # so a first-seen group provably has no events there (it would have
@@ -220,7 +241,7 @@ class Planner:
         }
         avail_high = max(int(r["max_seq"]) for r in stats_rows)
         batch_low = min(lows.values())
-        batch_high = min(avail_high, batch_low + cap)
+        batch_high = min(avail_high, batch_low + window)
 
         cost_stats = self.store.group_cost_stats()
         units: list[WorkUnit] = []

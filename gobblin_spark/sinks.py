@@ -77,6 +77,12 @@ def write_files(
 
             shutil.rmtree(staging, ignore_errors=True)
             raise FileExistsError(out_dir)
+        # READER CONTRACT: the two renames leave a brief window where
+        # out_dir is absent — a concurrent reader must either list-then-read
+        # with retry or coordinate externally. Single-publisher directories
+        # (this engine's usage) never hit it; readers needing snapshot
+        # isolation should consume a LakeTable (manifest-pinned file sets)
+        # instead of a raw directory sink.
         old = os.path.join(parent, f".old-{uuid.uuid4().hex}")
         os.rename(out_dir, old)
         os.rename(staging, out_dir)

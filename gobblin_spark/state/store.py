@@ -204,6 +204,35 @@ class StateStore:
         ]
 
     # ------------------------------------------------------------ estimators
+    def observed_seq_density(self, last_k: int = 5) -> float | None:
+        """Rows observed per unit of GLOBAL seq width over this consumer's
+        last K committed batches (chronological). 1.0 for a consumer that
+        sees every event; ~1/S for an executor owning 1/S of the event
+        groups (sharded deployment: each executor tails its own
+        Kafka-partition assignment, ≙ KafkaWorkUnitPacker container
+        assignment). The planner divides its record cap by this to size the
+        seq admission window, so sharded consumers still fill batches to
+        the cap instead of running S× more batches at 1/S size. None until
+        the first commit (no evidence yet).
+        ≙ the reference sizing work units from persisted run history
+        (KafkaAvgRecordTimeBasedWorkUnitSizeEstimator.java:51,66)."""
+        commits = sorted(self.committed_batches(),
+                         key=lambda c: c.get("committed_ms", 0))[-last_k:]
+        rows = 0
+        width = 0
+        for c in commits:
+            lineage = [ln for ln in c.get("lineage", [])
+                       if ln.get("high_seq") is not None]
+            if not lineage:
+                continue
+            lo = min(ln["low_seq"] for ln in lineage)
+            hi = max(ln["high_seq"] for ln in lineage)
+            rows += sum(ln.get("rows_read", 0) for ln in lineage)
+            width += max(0, hi - lo)
+        if width <= 0:
+            return None
+        return rows / width
+
     def group_cost_stats(self) -> dict[int, dict[str, float]]:
         """Per-group avg ms/record and avg rows/batch from committed history
         (≙ KafkaAvgRecordTimeBasedWorkUnitSizeEstimator.java:51,66, stats

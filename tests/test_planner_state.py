@@ -295,3 +295,59 @@ def test_engine_bin_partitioning_balances_skewed_extract(spark, tmp_table_dir):
     # and the merge result is still correct: one row per live key
     assert eng.current_state().count() == \
         events.select("repo", "path").distinct().count()
+
+
+def test_density_adaptive_window_for_sharded_consumer(spark, tmp_table_dir):
+    """An executor owning 1/4 of the event groups (sharded deployment, ≙
+    Kafka-partition assignment) sees ~1/4 of the rows in any global-seq
+    window. After the first commit teaches the planner its observed
+    density, batches must fill to ~the record cap instead of splintering
+    into 4x more batches of cap/4 rows — and the final state must still be
+    exactly the shard's LWW replay."""
+    import os
+
+    import pyspark.sql.functions as F2
+
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.sources.change_events import (
+        expected_final_state,
+        generate_change_events,
+    )
+
+    ev = generate_change_events(
+        spark, n_updates=8000, n_repos=10, paths_per_repo=100,
+        dup_frac=0.0, delete_frac=0.05, ooo_window=50, n_groups=8,
+    )
+    shard = ev.filter(F2.expr("pmod(event_group, 4) = 1"))
+    ev_path = os.path.join(tmp_table_dir, "events")
+    shard.write.mode("overwrite").parquet(ev_path)
+    stored = spark.read.parquet(ev_path)
+    n = stored.filter("op IN ('I','U','D')").count()
+
+    cap = 1000
+    eng = CdcEngine(
+        spark, stored,
+        table_root=os.path.join(tmp_table_dir, "table"),
+        state_root=os.path.join(tmp_table_dir, "state"),
+        max_records_per_batch=cap, n_buckets=8,
+    )
+    results = eng.run_until_caught_up(max_batches=60)
+    sizes = [r.rows_read for r in results]
+    # batch 1 runs blind (density 1.0 → ~cap/4 rows); once history exists
+    # the window widens ~4x and batches reach the cap's neighborhood
+    assert sizes[0] < 0.6 * cap
+    assert max(sizes[1:-1] or sizes) > 0.7 * cap
+    # total batch count near the ideal n/cap, NOT the splintered 4x count
+    ideal = -(-n // cap)
+    assert len(results) <= ideal + 3
+    # exactness is untouched by the adaptive window
+    got = eng.current_state().select("repo", "path", "commit").orderBy(
+        "repo", "path")
+    want = expected_final_state(stored).select(
+        "repo", "path", "commit").orderBy("repo", "path")
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()]
+    # watermarks fully caught up
+    wm = eng.store.last_committed_watermarks()
+    smax = stored.agg(F2.max("seq")).first()[0]
+    assert max(wm.values()) == smax
