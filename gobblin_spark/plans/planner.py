@@ -195,8 +195,14 @@ class Planner:
         # owns a subset of event groups still fills its batches to the cap.
         # expr strings, not Column chains: py4j round-trips per operator are
         # per-batch serial driver time (see batch_predicate)
+        # ... but never when a limiter trimmed the cap: the batch cap is a
+        # sizing TARGET (overshoot self-corrects), a limiter budget is a
+        # QUOTA — widening could admit cap/density seqs holding > budget
+        # rows. A limited cycle uses the un-widened window (worst case:
+        # under-filled batches while throttled).
         density = self.store.observed_seq_density()
-        if density and density > 0:
+        limited = cap < self.max_records_per_batch
+        if density and density > 0 and not limited:
             window = min(cap * self.max_window_factor,
                          max(cap, int(cap / density)))
         else:
