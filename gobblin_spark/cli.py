@@ -45,6 +45,21 @@ def cmd_ingest(args) -> int:
 
     spark = _get_session(args)
     events = spark.read.parquet(args.events)
+    if args.shard:
+        # multi-executor deployment: one ingest job per shard, each with its
+        # own --table/--state; shard K/S owns pmod(event_group, S) = K
+        # (≙ KafkaWorkUnitPacker assigning Kafka partitions to containers).
+        # The density-adaptive planner learns the 1/S row density from its
+        # committed history, so shards still fill batches to the record cap.
+        try:
+            k, s = (int(x) for x in args.shard.split("/", 1))
+        except ValueError:
+            raise SystemExit(f"--shard must be K/S, got {args.shard!r}")
+        if not (0 <= k < s):
+            raise SystemExit(f"--shard K/S requires 0 <= K < S, got {args.shard!r}")
+        import pyspark.sql.functions as F
+
+        events = events.filter(F.expr(f"pmod(event_group, {s}) = {k}"))
     eng = CdcEngine(
         spark,
         events,
@@ -241,6 +256,44 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_history(args) -> int:
+    """Snapshot history (≙ Iceberg's snapshots metadata table). Pure
+    manifest reads — no Spark session."""
+    from gobblin_spark.lakehouse import LakeTable
+
+    table = LakeTable(None, args.table)
+    out = []
+    for s in table.history():
+        out.append({
+            "version": s.version,
+            "parent": s.parent,
+            "timestamp_ms": s.timestamp_ms,
+            "schema_version": s.schema_version,
+            "files": len(s.files),
+            "rows": sum(f.rows for f in s.files),
+            "bytes": sum(f.bytes for f in s.files),
+            "properties": s.properties,
+        })
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_rollback(args) -> int:
+    """Restore a previous snapshot as a new commit (metadata-only; see
+    LakeTable.rollback for the state-store caveat)."""
+    from gobblin_spark.lakehouse import LakeTable
+
+    table = LakeTable(None, args.table)
+    snap = table.rollback(args.to_version)
+    print(json.dumps({
+        "rolled_back_to": args.to_version,
+        "new_version": snap.version,
+        "files": len(snap.files),
+        "rows": sum(f.rows for f in snap.files),
+    }))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Near-dup corpus dedup as a launchable job: LSH pairs → connected
     components → keep one representative per cluster, staged-publish the
@@ -386,6 +439,11 @@ def main(argv: list[str] | None = None) -> int:
                           "mor: append deltas, compact periodically")
     ing.add_argument("--compact-every", type=int, default=8,
                      help="mor: compact after this many batches")
+    ing.add_argument("--shard", default=None, metavar="K/S",
+                     help="this consumer owns event groups with "
+                          "pmod(event_group, S) = K; run S ingest jobs "
+                          "(one per executor/container), each with its own "
+                          "--table/--state, to divide a stream")
     ing.add_argument("--local-cores", type=int, default=0,
                      help="dev only: build a local[N] session instead of "
                           "using the spark-submit session")
@@ -471,6 +529,20 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--no-vacuum", dest="vacuum", action="store_false")
     ex.add_argument("--local-cores", type=int, default=0)
 
+    hi = sub.add_parser(
+        "history",
+        help="list snapshot history (no Spark needed)",
+    )
+    hi.add_argument("--table", required=True)
+
+    rb = sub.add_parser(
+        "rollback",
+        help="restore a previous snapshot as a new commit (metadata-only, "
+             "no Spark needed); ingest watermarks are NOT rolled back",
+    )
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to-version", type=int, required=True)
+
     dd = sub.add_parser(
         "dedup",
         help="near-dup corpus dedup: LSH -> connected components -> keep "
@@ -513,6 +585,7 @@ def main(argv: list[str] | None = None) -> int:
             "status": cmd_status, "compact": cmd_compact,
             "vacuum": cmd_vacuum, "dedup": cmd_dedup,
             "changes": cmd_changes, "expire": cmd_expire,
+            "history": cmd_history, "rollback": cmd_rollback,
             "curate": cmd_curate}[args.cmd](args)
 
 

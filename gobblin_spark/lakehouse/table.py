@@ -798,6 +798,47 @@ class LakeTable:
             self.fs.remove(self._manifest_path(v))
         return expired
 
+    def rollback(self, to_version: int) -> Snapshot:
+        """Restore a previous snapshot's state as a NEW commit (≙ Iceberg
+        rollback_to_snapshot): the target's file set, schema, schema_version
+        and schema_log become the live state under version current+1.
+        History is preserved — time travel to the in-between versions keeps
+        working until they are expired — and the operation is metadata-only
+        (no data file is touched: O(manifest), not O(table), at any size).
+        Sharded manifests are reused byte-for-byte; vacuum keeps the
+        restored files live because the new snapshot references them.
+
+        Table op only: the ingest state store's watermarks are untouched, so
+        a subsequent ingest run will NOT re-apply the undone events (they
+        are committed per its checkpoint). To replay them into the rolled-
+        back table, point the job at a fresh --state root.
+        """
+        target = self.snapshot(to_version)
+        cur = self.snapshot()
+        if to_version == cur.version:
+            return cur
+        props = dict(target.properties)
+        props["rollback_to"] = to_version
+        props["rollback_from"] = cur.version
+        snap = Snapshot(
+            version=cur.version + 1,
+            parent=cur.version,
+            timestamp_ms=int(time.time() * 1000),
+            schema_json=target.schema_json,
+            schema_version=target.schema_version,
+            schema_log=target.schema_log,
+            n_buckets=target.n_buckets,
+            bucket_cols=target.bucket_cols,
+            key_cols=target.key_cols,
+            partition_spec=target.partition_spec,
+            properties=props,
+            files=target.files,
+            shard_refs=target.shard_refs,
+            shard_map=target.shard_map,
+        )
+        self._publish_manifest(snap)
+        return snap
+
     def vacuum(self) -> int:
         """Delete data files not referenced by any snapshot (orphans from
         failed writes) — ≙ cleanupStagingData (AbstractJobLauncher.java:706).

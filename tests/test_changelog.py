@@ -232,3 +232,94 @@ def test_expire_snapshots_older_than(spark, tmp_table_dir):
     assert t.versions() == [2]
     with pytest.raises(ValueError):
         t.expire_snapshots(keep_last=0)
+
+
+def test_rollback_restores_state_and_preserves_history(spark, tmp_table_dir):
+    """rollback(v) = Iceberg rollback_to_snapshot: a NEW metadata-only
+    commit replicating v's file set + schema; reads equal time travel to v,
+    in-between versions stay readable, vacuum keeps the restored files, and
+    subsequent merges proceed from the rolled-back state."""
+    t = new_table(spark, tmp_table_dir)
+    b1 = spark.createDataFrame(
+        [
+            (1, "I", "r", "a", "c1", "py", "a1"),
+            (2, "I", "r", "b", "c1", "py", "b1"),
+        ],
+        COLS,
+    )
+    merge_lww(t, b1, KEYS)
+    v_good = t.current_version()
+    want = {(r["repo"], r["path"], r["content"])
+            for r in read_current(t).collect()}
+
+    # a bad batch lands (update + delete) — then roll it back
+    b2 = spark.createDataFrame(
+        [
+            (10, "U", "r", "a", "c2", "py", "a2"),
+            (11, "D", "r", "b", None, None, None),
+        ],
+        COLS,
+    )
+    merge_lww(t, b2, KEYS)
+    v_bad = t.current_version()
+
+    snap = t.rollback(v_good)
+    assert snap.version == v_bad + 1
+    assert snap.properties["rollback_to"] == v_good
+    assert snap.properties["rollback_from"] == v_bad
+    got = {(r["repo"], r["path"], r["content"])
+           for r in read_current(t).collect()}
+    assert got == want
+    # the undone version remains time-travelable until expired
+    assert ("r", "a", "a2") in {
+        (r["repo"], r["path"], r["content"])
+        for r in read_current(t, version=v_bad).collect()}
+    # vacuum must not reclaim the restored files
+    assert t.vacuum() == 0
+    assert {(r["repo"], r["path"], r["content"])
+            for r in read_current(t).collect()} == want
+
+    # rollback to the current version is a no-op
+    assert t.rollback(t.current_version()).version == t.current_version()
+
+    # the table keeps working: a new merge on top of the rolled-back state
+    b3 = spark.createDataFrame(
+        [(20, "U", "r", "b", "c3", "py", "b3")], COLS)
+    merge_lww(t, b3, KEYS)
+    got = {(r["repo"], r["path"], r["content"])
+           for r in read_current(t).collect()}
+    assert got == {("r", "a", "a1"), ("r", "b", "b3")}
+
+
+def test_rollback_across_schema_evolution(spark, tmp_table_dir):
+    """Rolling back past a schema change restores the OLD schema (files and
+    schema_log travel together), and rolling forward again re-reads the
+    evolved snapshot correctly."""
+    t = new_table(spark, tmp_table_dir)
+    b1 = spark.createDataFrame(
+        [(1, "I", "r", "a", "c1", "py", "a1")], COLS)
+    merge_lww(t, b1, KEYS)
+    v1 = t.current_version()
+    old_cols = set(read_current(t).columns)
+
+    # evolve: add a column via a commit with schema_log_append
+    import pyspark.sql.types as T
+    snap = t.snapshot()
+    new_schema = T.StructType(
+        list(snap.schema.fields)
+        + [T.StructField("stars", T.LongType(), True)])
+    t.commit(
+        keep_files=snap.files, add_files=[], schema=new_schema,
+        schema_version=snap.schema_version + 1,
+        schema_log_append=[{"v": snap.schema_version + 1, "op": "add",
+                            "col": "stars"}],
+        expected_version=snap.version,
+    )
+    assert "stars" in read_current(t).columns
+    v_evolved = t.current_version()
+
+    t.rollback(v1)
+    assert set(read_current(t).columns) == old_cols
+    # forward again to the evolved snapshot
+    t.rollback(v_evolved)
+    assert "stars" in read_current(t).columns
