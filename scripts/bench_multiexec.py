@@ -63,9 +63,11 @@ def materialize(path: str) -> None:
     from gobblin_spark.session import get_spark
     from gobblin_spark.sources import generate_change_events
 
+    import pyspark.sql.functions as F
+
     spark = get_spark("multiexec-gen", parallelism=32, shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
-    generate_change_events(
+    ev = generate_change_events(
         spark,
         n_updates=N_UPDATES,
         n_repos=200,
@@ -75,7 +77,14 @@ def materialize(path: str) -> None:
         ooo_window=5000,
         content_tokens=int(os.environ.get("BENCH_CONTENT_TOKENS", "24")),
         n_groups=32,
-    ).write.mode("overwrite").parquet(path)
+    )
+    # Pre-shard by executor assignment (shard = event_group % N_EXEC_HI) so a
+    # worker reads ONLY its partition directories — a Kafka consumer reads
+    # only its assigned partitions; simulating assignment with a post-scan
+    # filter would make the 4-executor leg decode the full input 4x.
+    (ev.withColumn("shard", F.pmod(F.col("event_group"), F.lit(N_EXEC_HI)))
+       .repartition(64, "shard")
+       .write.mode("overwrite").partitionBy("shard").parquet(path))
     spark.stop()
 
 
@@ -93,9 +102,13 @@ def run_worker(cpus: int, shards: int, shard: int, events_path: str,
         shuffle_partitions=max(cpus, 16),
     )
     spark.sparkContext.setLogLevel("ERROR")
-    ev = spark.read.parquet(events_path)
     if shards > 1:
-        ev = ev.filter(F.expr(f"pmod(event_group, {shards}) = {shard}"))
+        # partition-pruned read: only this executor's assigned shard dirs
+        ev = spark.read.parquet(
+            *[f"{events_path}/shard={s}" for s in range(shard, N_EXEC_HI,
+                                                        shards)])
+    else:
+        ev = spark.read.parquet(events_path).drop("shard")
     n = ev.count()
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix=f"gobblin_exec{shard}_", dir=scratch)
