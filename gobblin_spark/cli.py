@@ -256,6 +256,33 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Structured-Streaming front-end as a launchable job: readStream over
+    the event directory, foreachBatch applying the engine's idempotent LWW
+    MERGE (exactly-once via the commit log; see streaming/ingest.py).
+    availableNow drains the current backlog and exits — re-running resumes
+    from the streaming checkpoint; --interval turns it into a forever-tail."""
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.streaming.ingest import stream_ingest
+
+    spark = _get_session(args)
+    q = stream_ingest(
+        spark, args.events, args.table, args.state, args.checkpoint,
+        available_now=not args.interval,
+        processing_interval=args.interval or None,
+        salt_buckets=args.salt_buckets,
+        n_buckets=args.buckets,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()
+    table = LakeTable(spark, args.table)
+    print(json.dumps({
+        "snapshot_version": table.current_version(),
+        "table_stats": table.stats(),
+    }))
+    return 0
+
+
 def cmd_history(args) -> int:
     """Snapshot history (≙ Iceberg's snapshots metadata table). Pure
     manifest reads — no Spark session."""
@@ -529,6 +556,25 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--no-vacuum", dest="vacuum", action="store_false")
     ex.add_argument("--local-cores", type=int, default=0)
 
+    st = sub.add_parser(
+        "stream",
+        help="Structured-Streaming ingest: drain the event directory "
+             "(availableNow) or tail it forever (--interval)",
+    )
+    st.add_argument("--events", required=True,
+                    help="event parquet directory (readStream source)")
+    st.add_argument("--table", required=True)
+    st.add_argument("--state", required=True)
+    st.add_argument("--checkpoint", required=True,
+                    help="Spark streaming checkpoint dir")
+    st.add_argument("--interval", default="",
+                    help="processing-time trigger (e.g. '30 seconds'); "
+                         "empty = availableNow drain-and-exit")
+    st.add_argument("--salt-buckets", type=int, default=0)
+    st.add_argument("--buckets", type=int, default=32)
+    st.add_argument("--max-files-per-trigger", type=int, default=None)
+    st.add_argument("--local-cores", type=int, default=0)
+
     hi = sub.add_parser(
         "history",
         help="list snapshot history (no Spark needed)",
@@ -586,6 +632,7 @@ def main(argv: list[str] | None = None) -> int:
             "vacuum": cmd_vacuum, "dedup": cmd_dedup,
             "changes": cmd_changes, "expire": cmd_expire,
             "history": cmd_history, "rollback": cmd_rollback,
+            "stream": cmd_stream,
             "curate": cmd_curate}[args.cmd](args)
 
 

@@ -212,3 +212,36 @@ def test_cli_sharded_ingest_union_equals_full_replay(
             raise AssertionError(f"shard {bad!r} should have exited")
         except SystemExit:
             pass
+
+
+def test_cli_stream_drains_and_resumes(spark, tmp_table_dir, capsys):
+    """`stream` CLI: availableNow drain applies everything; a re-run over
+    the same checkpoint applies nothing new and leaves the version alone."""
+    ev_dir = os.path.join(tmp_table_dir, "ev")
+    generate_change_events(
+        spark, 4000, n_repos=8, paths_per_repo=60, dup_frac=0.05,
+        delete_frac=0.05, ooo_window=100,
+    ).coalesce(2).write.parquet(ev_dir)
+    argv = [
+        "stream", "--events", ev_dir,
+        "--table", os.path.join(tmp_table_dir, "t"),
+        "--state", os.path.join(tmp_table_dir, "s"),
+        "--checkpoint", os.path.join(tmp_table_dir, "ckpt"),
+    ]
+    assert main(argv) == 0
+    out = json.loads([l for l in capsys.readouterr().out.splitlines()
+                      if l.startswith("{")][-1])
+    v1 = out["snapshot_version"]
+    t = LakeTable(spark, os.path.join(tmp_table_dir, "t"))
+    got = {(r["repo"], r["path"], r["commit"])
+           for r in read_current(t).collect()}
+    from gobblin_spark.sources.change_events import expected_final_state
+    want = {(r["repo"], r["path"], r["commit"])
+            for r in expected_final_state(
+                spark.read.parquet(ev_dir)).collect()}
+    assert got == want
+    # resume over the same checkpoint: nothing to do
+    assert main(argv) == 0
+    out2 = json.loads([l for l in capsys.readouterr().out.splitlines()
+                       if l.startswith("{")][-1])
+    assert out2["snapshot_version"] == v1
