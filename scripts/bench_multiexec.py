@@ -57,6 +57,62 @@ BATCHES = int(os.environ.get("BENCH_BATCHES", "4"))
 EXEC_CPUS = int(os.environ.get("BENCH_EXEC_CPUS", "8"))
 N_EXEC_HI = int(os.environ.get("BENCH_EXECUTORS", "4"))
 EVENTS_DIR = os.environ.get("BENCH_EVENTS_DIR")
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", "2"))
+OUT_NAME = os.environ.get("BENCH_OUT_NAME")
+
+
+def probe_core(core: int, seconds: float) -> dict:
+    """Measure what the host actually delivers on ONE pinned core right now:
+    sha256 iterations (compute supply) and large-buffer copy MB/s (memory
+    bandwidth supply). Zero engine code — this is the control that converts
+    'the VM was in a degraded window' from assertion into measurement."""
+    import hashlib
+
+    try:
+        os.sched_setaffinity(0, {core})
+    except (AttributeError, OSError):
+        pass
+    buf = b"x" * 4096
+    t_end = time.time() + seconds / 2
+    it = 0
+    h = hashlib.sha256()
+    while time.time() < t_end:
+        for _ in range(200):
+            h.update(buf)
+        it += 200
+    big = bytearray(32 * 1024 * 1024)
+    t_end = time.time() + seconds / 2
+    t0 = time.time()
+    copies = 0
+    while time.time() < t_end:
+        _ = bytes(big)
+        copies += 1
+    bw = copies * 32 / max(1e-9, time.time() - t0)
+    return {"core": core, "sha_iters_per_s": round(it / (seconds / 2), 0),
+            "copy_mb_per_s": round(bw, 1)}
+
+
+def probe_supply(n_cores: int, seconds: float = 4.0) -> dict:
+    """Run probe_core concurrently on cores 0..n_cores-1 (the cores the
+    upcoming leg will occupy) and aggregate delivered supply."""
+    procs = []
+    for c in range(n_cores):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--probe", str(c),
+             str(seconds)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        ))
+    cores = []
+    for p in procs:
+        out, _ = p.communicate()
+        cores.append(json.loads(out.splitlines()[-1]))
+    return {
+        "n_cores": n_cores,
+        "sha_iters_per_s_total": sum(c["sha_iters_per_s"] for c in cores),
+        "copy_mb_per_s_total": round(sum(c["copy_mb_per_s"] for c in cores), 1),
+        "per_core_min_sha": min(c["sha_iters_per_s"] for c in cores),
+        "per_core_max_sha": max(c["sha_iters_per_s"] for c in cores),
+    }
 
 
 def materialize(path: str) -> None:
@@ -196,6 +252,9 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--materialize":
         materialize(sys.argv[2])
         return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--probe":
+        print(json.dumps(probe_core(int(sys.argv[2]), float(sys.argv[3]))))
+        return
 
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = None
@@ -213,11 +272,19 @@ def main() -> None:
               file=sys.stderr)
 
     legs = {}
-    # alternate 1-exec / 4-exec so host supply drift hits both
-    for n_exec in (1, N_EXEC_HI, 1, N_EXEC_HI):
+    # alternate 1-exec / 4-exec so host supply drift hits both; probe the
+    # leg's cores immediately before each leg so every measurement carries
+    # its own simultaneously-measured host-supply control
+    schedule = (1, N_EXEC_HI) * N_PAIRS
+    for n_exec in schedule:
+        supply = probe_supply(n_exec * EXEC_CPUS)
         leg = run_leg(n_exec, ev_path)
+        leg["host_supply_probe"] = supply
         legs.setdefault(n_exec, []).append(leg)
-        print(f"{n_exec} executor(s): {leg['events_per_sec']} events/sec",
+        print(f"{n_exec} executor(s): {leg['events_per_sec']} events/sec "
+              f"(probe: {supply['sha_iters_per_s_total']:.0f} sha/s, "
+              f"{supply['copy_mb_per_s_total']} MB/s on "
+              f"{supply['n_cores']} cores)",
               file=sys.stderr)
 
     best = {k: max(v, key=lambda r: r["events_per_sec"])
@@ -228,6 +295,19 @@ def main() -> None:
         for l, h in zip(legs[1], legs[N_EXEC_HI])
         if l["events_per_sec"]
     ]
+    # supply-normalized pairs: raw efficiency divided by the fraction of
+    # ideal per-core compute the host actually delivered to the 4N leg
+    # relative to the N leg (bounded at 1.0 — never inflate past ideal)
+    pair_effs_supply_norm = []
+    for l, h in zip(legs[1], legs[N_EXEC_HI]):
+        sl = l["host_supply_probe"]["sha_iters_per_s_total"]
+        sh = h["host_supply_probe"]["sha_iters_per_s_total"]
+        if not (l["events_per_sec"] and sl and sh):
+            continue
+        supply_ratio = min(1.0, (sh / sl) / N_EXEC_HI)
+        raw = (h["events_per_sec"] / l["events_per_sec"]) / N_EXEC_HI
+        pair_effs_supply_norm.append(
+            round(min(1.0, raw / supply_ratio) if supply_ratio else 0.0, 3))
     eff = round(
         (hi["events_per_sec"] / lo["events_per_sec"]) / N_EXEC_HI, 3
     ) if lo["events_per_sec"] else 0.0
@@ -243,12 +323,13 @@ def main() -> None:
         "legs": best,
         "all_runs": {str(k): v for k, v in legs.items()},
         "pair_efficiencies": pair_effs,
+        "pair_efficiencies_supply_normalized": pair_effs_supply_norm,
         "efficiency_Nx4": eff,
         "criterion": "throughput scaling efficiency >= 0.8 from N to 4N",
         "pass": eff >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    name = f"multiexec_1x{N_EXEC_HI}_c{EXEC_CPUS}.json"
+    name = OUT_NAME or f"multiexec_1x{N_EXEC_HI}_c{EXEC_CPUS}.json"
     with open(os.path.join(REPO, "BENCH", name), "w") as fh:
         json.dump(out, fh, indent=2)
     if work is not None:
