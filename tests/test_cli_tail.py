@@ -214,6 +214,62 @@ def test_cli_sharded_ingest_union_equals_full_replay(
             pass
 
 
+def test_cli_sharded_ingest_preempted_worker_resumes(
+        spark, tmp_table_dir, capsys):
+    """A sharded executor preempted mid-run (killed after one committed
+    batch — YARN/K8s container loss in the reference's deployment) is
+    simply relaunched with the same --table/--state: it resumes from its
+    committed watermark, applies only the remainder, and the shard union
+    still equals the full LWW replay. A further relaunch applies nothing
+    (exactly-once across process restarts, per shard)."""
+    from gobblin_spark.sources.change_events import expected_final_state
+
+    def run(argv):
+        rc = main(argv)
+        assert rc == 0
+        return json.loads([l for l in capsys.readouterr().out.splitlines()
+                           if l.startswith("{")][-1])
+
+    events_path = os.path.join(tmp_table_dir, "events")
+    generate_change_events(
+        spark, 8000, n_repos=12, paths_per_repo=80, dup_frac=0.05,
+        delete_frac=0.05, ooo_window=300, n_groups=8,
+    ).write.parquet(events_path)
+
+    argv0 = ["ingest", "--events", events_path,
+             "--table", os.path.join(tmp_table_dir, "table0"),
+             "--state", os.path.join(tmp_table_dir, "state0"),
+             "--max-records-per-batch", "1500", "--shard", "0/2"]
+    # shard 0 preempted after one committed batch
+    first = run(argv0 + ["--max-batches", "1"])
+    assert first["batches"] == 1 and first["events_applied"] > 0
+
+    # shard 1 runs to completion, unaware of shard 0's failure
+    run(["ingest", "--events", events_path,
+         "--table", os.path.join(tmp_table_dir, "table1"),
+         "--state", os.path.join(tmp_table_dir, "state1"),
+         "--max-records-per-batch", "1500", "--shard", "1/2"])
+
+    # relaunch shard 0: resumes from the committed watermark, no re-apply
+    resumed = run(argv0)
+    assert resumed["batches"] >= 1
+    # a third launch finds nothing left
+    drained = run(argv0)
+    assert drained["batches"] == 0 and drained["events_applied"] == 0
+
+    merged = read_current(
+        LakeTable(spark, os.path.join(tmp_table_dir, "table0"))
+    ).unionByName(read_current(
+        LakeTable(spark, os.path.join(tmp_table_dir, "table1"))))
+    want = expected_final_state(spark.read.parquet(events_path))
+    got_rows = sorted(
+        (r["repo"], r["path"], r["commit"]) for r in merged.collect())
+    want_rows = sorted(
+        (r["repo"], r["path"], r["commit"]) for r in want.collect())
+    assert got_rows == want_rows
+    assert merged.count() == merged.select("repo", "path").distinct().count()
+
+
 def test_cli_stream_drains_and_resumes(spark, tmp_table_dir, capsys):
     """`stream` CLI: availableNow drain applies everything; a re-run over
     the same checkpoint applies nothing new and leaves the version alone."""
