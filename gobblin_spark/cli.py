@@ -148,6 +148,71 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_metrics(args) -> int:
+    """Run-history metrics report from the commit log — the read-back half
+    of the reference's metrics/lineage emitters (Instrumented mixins +
+    task-state stores, gobblin-metrics/.../Instrumented.java, persisted here
+    per batch by engine.commit_batch). Pure state-store reads, no Spark.
+
+    Per committed batch: rows, wall, throughput, phase breakdown, seq span,
+    quality violations, hot keys. Aggregate: sustained events/sec across the
+    run's commit timeline, phase totals, slowest groups."""
+    from gobblin_spark.state.store import StateStore
+
+    store = StateStore(args.state)
+    commits = sorted(store.committed_batches(),
+                     key=lambda c: c.get("committed_ms", 0))
+    batches = []
+    phase_totals: dict[str, int] = {}
+    rows_total = 0
+    for c in commits:
+        m = c.get("metrics", {})
+        lineage = c.get("lineage", [])
+        seq_lo = min((ln["low_seq"] for ln in lineage), default=None)
+        seq_hi = max((ln["high_seq"] for ln in lineage
+                      if ln.get("high_seq") is not None), default=None)
+        wall_ms = m.get("wall_ms", 0)
+        rows = m.get("rows_read", 0)
+        rows_total += rows
+        for ph, ms in (m.get("phase_ms") or {}).items():
+            phase_totals[ph] = phase_totals.get(ph, 0) + ms
+        batches.append({
+            "batch_id": c["batch_id"],
+            "committed_ms": c.get("committed_ms"),
+            "snapshot_version": c.get("snapshot_version"),
+            "rows_read": rows,
+            "rows_merged": m.get("rows_merged"),
+            "wall_ms": wall_ms,
+            "events_per_sec": round(rows / (wall_ms / 1000), 1)
+            if wall_ms else None,
+            "seq_span": [seq_lo, seq_hi],
+            "n_units": len(lineage),
+            "hot_repos": m.get("hot_repos"),
+            "quality_violations": m.get("quality_violations"),
+            "phase_ms": m.get("phase_ms"),
+        })
+    walls = sum(b["wall_ms"] or 0 for b in batches)
+    cost = store.group_cost_stats()
+    slowest = sorted(cost.items(), key=lambda kv: -kv[1]["avg_ms_per_record"])
+    out = {
+        "committed_batches": len(batches),
+        "pending_batches": [b["batch_id"] for b in store.pending_batches()],
+        "rows_read_total": rows_total,
+        "apply_wall_ms_total": walls,
+        "sustained_events_per_sec": round(rows_total / (walls / 1000), 1)
+        if walls else None,
+        "phase_ms_totals": dict(
+            sorted(phase_totals.items(), key=lambda kv: -kv[1])),
+        "slowest_groups": [
+            {"event_group": g, **{k: round(v, 4) for k, v in s.items()}}
+            for g, s in slowest[:args.top_groups]
+        ],
+        "batches": batches if args.per_batch else batches[-3:],
+    }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_compact(args) -> int:
     from gobblin_spark.lakehouse import LakeTable
     from gobblin_spark.lakehouse.merge import compact
@@ -524,6 +589,14 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="print watermarks + pending batches")
     st.add_argument("--state", required=True)
 
+    mt = sub.add_parser(
+        "metrics", help="run-history metrics/lineage report from the "
+        "commit log (per-batch throughput, phase breakdown, hot groups)")
+    mt.add_argument("--state", required=True)
+    mt.add_argument("--per-batch", action="store_true",
+                    help="include every batch (default: last 3)")
+    mt.add_argument("--top-groups", type=int, default=5)
+
     cp = sub.add_parser("compact", help="fold MOR delta files (LWW by key)")
     cp.add_argument("--table", required=True)
     cp.add_argument("--salt-buckets", type=int, default=0)
@@ -628,7 +701,8 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
     return {"ingest": cmd_ingest, "tail": cmd_tail, "pull": cmd_pull,
-            "status": cmd_status, "compact": cmd_compact,
+            "status": cmd_status, "metrics": cmd_metrics,
+            "compact": cmd_compact,
             "vacuum": cmd_vacuum, "dedup": cmd_dedup,
             "changes": cmd_changes, "expire": cmd_expire,
             "history": cmd_history, "rollback": cmd_rollback,

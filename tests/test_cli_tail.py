@@ -214,6 +214,37 @@ def test_cli_sharded_ingest_union_equals_full_replay(
             pass
 
 
+def test_cli_metrics_reports_run_history(spark, tmp_table_dir, capsys):
+    """`metrics` CLI: after an ingest run, the commit log yields a
+    per-batch + aggregate metrics/lineage report (the read-back half of the
+    reference's Instrumented emitters) without a Spark session."""
+    events_path = os.path.join(tmp_table_dir, "events")
+    generate_change_events(
+        spark, 4000, n_repos=8, paths_per_repo=60, dup_frac=0.05,
+        delete_frac=0.05, ooo_window=100,
+    ).write.parquet(events_path)
+    state = os.path.join(tmp_table_dir, "state")
+    assert main(["ingest", "--events", events_path,
+                 "--table", os.path.join(tmp_table_dir, "table"),
+                 "--state", state,
+                 "--max-records-per-batch", "1500"]) == 0
+    capsys.readouterr()
+
+    assert main(["metrics", "--state", state, "--per-batch"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["committed_batches"] >= 2
+    assert out["pending_batches"] == []
+    assert out["rows_read_total"] >= 4000  # updates + dup/delete extras
+    assert out["sustained_events_per_sec"] > 0
+    assert out["phase_ms_totals"]  # plan/extract/merge/commit phases present
+    assert len(out["batches"]) == out["committed_batches"]
+    b = out["batches"][0]
+    assert b["seq_span"][0] is not None and b["seq_span"][1] > b["seq_span"][0]
+    assert b["events_per_sec"] > 0 and b["n_units"] >= 1
+    assert out["slowest_groups"] and all(
+        "avg_ms_per_record" in g for g in out["slowest_groups"])
+
+
 def test_cli_sharded_ingest_preempted_worker_resumes(
         spark, tmp_table_dir, capsys):
     """A sharded executor preempted mid-run (killed after one committed
