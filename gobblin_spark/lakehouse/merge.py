@@ -39,6 +39,7 @@ from typing import Any, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
 
 from gobblin_spark.lakehouse.table import LakeTable, Snapshot, bucket_expr
 
@@ -105,6 +106,46 @@ def lww_reduce(
         # A key can only be in one side, so union needs no final reduce.
         return hot_reduced.unionByName(cold_reduced)
     return _two_stage(df, keys, payload, order, salt_buckets)
+
+
+def lww_patch_reduce(
+    df: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    payload_cols: Sequence[str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Partial-update (patch) CDC merge: per key, each payload column takes
+    its LATEST NON-NULL value by seq — a null column in an update means
+    "unchanged", not "set to null" (Debezium/Mongo patch semantics; the
+    reference's row-level LWW in AvroKeyDedupReducer has no per-column
+    variant — this is the column-granular generalization a patch stream
+    needs). A delete clears ALL state: columns from before the key's last
+    'D' never resurface, and a key whose last event is the delete vanishes.
+
+    Plan shape: one window (last-delete seq per key) followed by a groupBy
+    on the SAME keys — Catalyst reuses the window's hash partitioning for
+    the aggregate, so the whole reduce costs a single shuffle; max_by's
+    ordering expression is null for rows where the column is null, which
+    excludes them from that column's race without a per-column filter pass.
+    """
+    payload_cols = [c for c in (payload_cols or df.columns)
+                    if c not in (*keys, seq_col, op_col)]
+    w = Window.partitionBy(*keys)
+    last_del = F.max(
+        F.when(F.col(op_col) == "D", F.col(seq_col))).over(w)
+    live = (
+        df.withColumn("__last_del", last_del)
+        .filter((F.col(op_col) != "D")
+                & (F.col(seq_col) > F.coalesce(F.col("__last_del"),
+                                               F.lit(-(1 << 62)))))
+    )
+    aggs = [F.max(seq_col).alias(seq_col)] + [
+        F.max_by(F.col(c),
+                 F.when(F.col(c).isNotNull(), F.col(seq_col))).alias(c)
+        for c in payload_cols
+    ]
+    return live.groupBy(*keys).agg(*aggs)
 
 
 def _two_stage(df: DataFrame, keys, payload, order, salt_buckets: int) -> DataFrame:

@@ -63,6 +63,51 @@ FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id
 """
 
 
+def q_cdc_patch_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update (patch) CDC merge on the events stream: a null column
+    in an update means "unchanged" — per key, each column takes its latest
+    non-null value by seq, a delete clears all prior state. Patchiness is
+    derived deterministically (event_type present on even event_ids, value
+    on event_id % 3 > 0) so the DuckDB oracle replays it bit-exactly."""
+    ev = load(spark, sf_dir, "events")
+    from gobblin_spark.lakehouse.merge import lww_patch_reduce
+
+    stream = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("user_id"),
+        F.when(F.col("event_id") % 2 == 0, F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 3 > 0, F.round("value", 6)).alias("value"),
+    )
+    patched = lww_patch_reduce(stream, ["user_id"], "seq")
+    return (
+        patched.select("user_id", F.col("seq").alias("last_seq"),
+                       "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+SQL_CDC_PATCH = """
+WITH stream AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CASE WHEN event_id % 2 = 0 THEN event_type END AS event_type,
+         CASE WHEN event_id % 3 > 0 THEN round(value, 6) END AS value
+  FROM events),
+last_del AS (
+  SELECT user_id, max(seq) AS ds FROM stream WHERE op = 'D' GROUP BY user_id),
+live AS (
+  SELECT s.* FROM stream s LEFT JOIN last_del d USING (user_id)
+  WHERE s.op <> 'D' AND s.seq > coalesce(d.ds, -4611686018427387904))
+SELECT user_id, max(seq) AS last_seq,
+       arg_max(event_type, seq) FILTER (WHERE event_type IS NOT NULL)
+           AS event_type,
+       arg_max(value, seq) FILTER (WHERE value IS NOT NULL) AS value
+FROM live GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental changelog read (table_changes): apply the events stream
     to a REAL LakeTable in two watermark-bounded merge batches, then diff
@@ -1542,6 +1587,7 @@ ORDER BY user_id, session_idx
 QUERIES = {
     "cdc_lww_final_state": q_cdc_lww_final_state,
     "cdc_lww_salted": q_cdc_lww_salted,
+    "cdc_patch_final_state": q_cdc_patch_final_state,
     "cdc_changelog": q_cdc_changelog,
     "cdc_changelog_mor": q_cdc_changelog_mor,
     "plan_watermark_ranges": q_plan_watermark_ranges,
@@ -1585,6 +1631,7 @@ def oracle_sqls() -> dict[str, str]:
     return {
         "cdc_lww_final_state": SQL_CDC_LWW,
         "cdc_lww_salted": SQL_CDC_LWW,  # same semantics, salted path
+        "cdc_patch_final_state": SQL_CDC_PATCH,
         "cdc_changelog": SQL_CDC_CHANGELOG,
         "cdc_changelog_mor": SQL_CDC_CHANGELOG,  # same semantics, MOR path
         "plan_watermark_ranges": SQL_PLAN_WATERMARK,

@@ -281,3 +281,37 @@ def test_crash_mid_compaction_leaves_table_readable(spark, tmp_table_dir,
     assert {(r["repo"], r["path"], r["commit"])
             for r in read_current(t).collect()} == before
     assert int(t.snapshot().properties.get("mor_deltas", 1)) == 0
+
+
+def test_lww_patch_reduce_column_granular_semantics(spark):
+    """Patch merge: null = unchanged (per-column latest non-null), a delete
+    clears ALL prior state (old columns never resurface), a key whose last
+    event is the delete vanishes, and post-delete patches rebuild from
+    scratch."""
+    from gobblin_spark.lakehouse.merge import lww_patch_reduce
+
+    rows = [
+        # key A: field patches interleave; both survive independently
+        (0, "U", "A", "x1", None),
+        (1, "U", "A", None, 10.0),
+        (2, "U", "A", "x2", None),
+        # key B: deleted at 4 — the seq-3 state must NOT resurface
+        (3, "U", "B", "b1", 7.0),
+        (4, "D", "B", None, None),
+        (5, "U", "B", None, 9.0),
+        # key C: delete is the last word — vanishes entirely
+        (6, "U", "C", "c1", 1.0),
+        (7, "D", "C", None, None),
+        # key E: out-of-order delivery — seq decides, not arrival
+        (9, "U", "E", "new", None),
+        (8, "U", "E", "old", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, op string, user string, name string, score double")
+    got = {r["user"]: (r["seq"], r["name"], r["score"])
+           for r in lww_patch_reduce(df, ["user"], "seq").collect()}
+    assert got == {
+        "A": (2, "x2", 10.0),     # name from seq2, score from seq1
+        "B": (5, None, 9.0),      # b1/7.0 cleared by delete; only seq5 patch
+        "E": (9, "new", 5.0),     # per-column latest by seq
+    }

@@ -109,3 +109,19 @@ def test_token_stats_query_prunes_columns(spark, sf_dir):
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in read and "text" in read
     assert "n_chars" not in read and "source" not in read
+
+
+def test_patch_reduce_single_shuffle(spark):
+    """lww_patch_reduce claims window + same-key aggregate reuse one hash
+    partitioning: exactly one shuffle Exchange in the plan."""
+    from gobblin_spark.lakehouse.merge import lww_patch_reduce
+
+    df = spark.range(100).selectExpr(
+        "id AS seq", "'U' AS op", "CAST(id % 7 AS STRING) AS user",
+        "CASE WHEN id % 2 = 0 THEN 'n' END AS name",
+        "CASE WHEN id % 3 > 0 THEN CAST(id AS DOUBLE) END AS score")
+    plan = _plan(lww_patch_reduce(df, ["user"], "seq"))
+    # formatted mode: node line is "(N) Exchange", partitioning in Arguments
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+    assert "hashpartitioning(user" in plan
