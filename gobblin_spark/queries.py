@@ -194,6 +194,66 @@ ORDER BY s2.user_id
 """
 
 
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key point reads from a REAL upsert table: apply the events
+    stream to a LakeTable, then point_lookup three fixed keys — each lookup
+    reads only the key's hash bucket (1/n_buckets of the files), the read
+    primitive a CDC consumer expects from a keyed table. Keys chosen to
+    exist at every sf (user_id 1..3); a lookup whose LWW winner is a delete
+    contributes no row, exactly like the oracle's final-state filter."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import merge_lww, point_lookup
+
+    ev = load(spark, sf_dir, "events")
+    stream = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.round("value", 6).alias("value"),
+    )
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("__seq", LongType()),
+        StructField("__deleted", BooleanType()),
+    ])
+    d = tempfile.mkdtemp(prefix="gs_lookup_")
+    try:
+        t = LakeTable.create(spark, f"{d}/table", schema, ["user_id"],
+                             n_buckets=8)
+        merge_lww(t, stream, ["user_id"])
+        parts = [point_lookup(t, {"user_id": uid}) for uid in (1, 2, 3)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.select("user_id", "event_type", "value").orderBy("user_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_CDC_POINT_LOOKUP = """
+WITH ranked AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, round(value, 6) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+  FROM events WHERE user_id IN (1, 2, 3))
+SELECT user_id, event_type, value
+FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id
+"""
+
+
 def q_cdc_changelog_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same changelog semantics with MERGE-ON-READ applies and the deltas
     left UNFOLDED — table_changes must LWW-resolve base+delta on both ends
@@ -1588,6 +1648,7 @@ QUERIES = {
     "cdc_lww_final_state": q_cdc_lww_final_state,
     "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_patch_final_state": q_cdc_patch_final_state,
+    "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_changelog": q_cdc_changelog,
     "cdc_changelog_mor": q_cdc_changelog_mor,
     "plan_watermark_ranges": q_plan_watermark_ranges,
@@ -1632,6 +1693,7 @@ def oracle_sqls() -> dict[str, str]:
         "cdc_lww_final_state": SQL_CDC_LWW,
         "cdc_lww_salted": SQL_CDC_LWW,  # same semantics, salted path
         "cdc_patch_final_state": SQL_CDC_PATCH,
+        "cdc_point_lookup": SQL_CDC_POINT_LOOKUP,
         "cdc_changelog": SQL_CDC_CHANGELOG,
         "cdc_changelog_mor": SQL_CDC_CHANGELOG,  # same semantics, MOR path
         "plan_watermark_ranges": SQL_PLAN_WATERMARK,

@@ -315,3 +315,55 @@ def test_lww_patch_reduce_column_granular_semantics(spark):
         "B": (5, None, 9.0),      # b1/7.0 cleared by delete; only seq5 patch
         "E": (9, "new", 5.0),     # per-column latest by seq
     }
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_table_dir):
+    """point_lookup: correct current state for a live key, empty for a
+    deleted key and a never-seen key, and the read touches ONLY the key's
+    bucket files (captured via read_file_set)."""
+    from gobblin_spark.lakehouse.merge import point_lookup
+
+    ev = make_events(spark, 2000)
+    t = new_table(spark, tmp_table_dir + "/t")
+    merge_lww(t, data_events(ev), KEYS)
+
+    want = {(r["repo"], r["path"]): r["commit"]
+            for r in read_current(t).collect()}
+    live_key = next(iter(sorted(want)))
+    # a key that was delivered but whose LWW winner is a delete
+    all_keys = {(r["repo"], r["path"])
+                for r in data_events(ev).select(*KEYS).distinct().collect()}
+    deleted = sorted(all_keys - set(want))
+
+    seen_file_counts = []
+    orig = LakeTable.read_file_set
+
+    def spy(self, files, snap=None):
+        seen_file_counts.append(len(files))
+        return orig(self, files, snap)
+
+    LakeTable.read_file_set = spy
+    try:
+        got = point_lookup(t, {"repo": live_key[0], "path": live_key[1]})
+        rows = got.collect()
+        assert len(rows) == 1
+        assert rows[0]["commit"] == want[live_key]
+
+        if deleted:
+            dk = deleted[0]
+            assert point_lookup(
+                t, {"repo": dk[0], "path": dk[1]}).count() == 0
+        assert point_lookup(
+            t, {"repo": "no_such", "path": "nope"}).count() == 0
+    finally:
+        LakeTable.read_file_set = orig
+
+    total_files = len(t.snapshot().files)
+    assert total_files >= 8  # one file per bucket at least
+    assert all(n <= total_files / 4 for n in seen_file_counts), (
+        seen_file_counts, total_files)
+
+    # missing merge key fails fast
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        point_lookup(t, {"repo": "only_half_the_key"})
