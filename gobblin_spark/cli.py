@@ -70,6 +70,7 @@ def cmd_ingest(args) -> int:
         salt_buckets=args.salt_buckets,
         n_buckets=args.buckets,
         merge_mode=args.merge_mode,
+        merge_dialect=args.merge_dialect,
         compact_every=args.compact_every,
     )
     t0 = time.time()
@@ -526,6 +527,9 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--buckets", type=int, default=32,
                      help="hash buckets of a newly created target table")
     ing.add_argument("--max-batches", type=int, default=1000)
+    ing.add_argument("--merge-dialect", choices=["row", "column"],
+                     default="row", help="'column' = patch semantics: null "
+                     "payload column in an update means unchanged")
     ing.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
                      help="cow: rewrite affected buckets per batch; "
                           "mor: append deltas, compact periodically")

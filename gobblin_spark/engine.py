@@ -174,6 +174,7 @@ class CdcEngine:
         row_policies: list[RowLevelPolicy] | None = None,
         err_path: str | None = None,
         merge_mode: str = "cow",
+        merge_dialect: str = "row",
         compact_every: int | None = 8,
         compact_delta_ratio: float | None = 0.25,
         gc_after_compact: bool = True,
@@ -190,7 +191,13 @@ class CdcEngine:
 
         delta_distribution: how MOR delta writes reach their bucket files —
         'cluster' (one shuffle, one file per bucket) or 'fanout' (no
-        shuffle, per-task bucketed files; see LakeTable.write_data_files)."""
+        shuffle, per-task bucketed files; see LakeTable.write_data_files).
+
+        merge_dialect: 'row' (whole-row LWW) or 'column' (patch semantics:
+        a null payload column in an update means "unchanged"; each column
+        resolves to its latest non-null value, deletes clear all state —
+        Debezium/Mongo-style patch streams). Stored on the table at create;
+        an existing table's dialect wins over this argument."""
         self.spark = spark
         self._events = events
         self.registry = registry or default_registry()
@@ -213,6 +220,7 @@ class CdcEngine:
         self.err_path = err_path
         assert merge_mode in ("cow", "mor")
         self.merge_mode = merge_mode
+        assert merge_dialect in ("row", "column")
         assert delta_distribution in ("cluster", "fanout")
         self.delta_distribution = delta_distribution
         # Compaction triggers (MOR), OR'd — ≙ MRCompactor.java:147-157,
@@ -240,7 +248,8 @@ class CdcEngine:
                 target_schema_for(self.registry, 1),
                 KEYS,
                 n_buckets=n_buckets,
-                properties={"registry_version": 1},
+                properties={"registry_version": 1,
+                            "merge_dialect": merge_dialect},
                 key_cols=KEYS,
                 fs=fs,
             )

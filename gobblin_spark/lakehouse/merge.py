@@ -148,6 +148,67 @@ def lww_patch_reduce(
     return live.groupBy(*keys).agg(*aggs)
 
 
+def patch_reduce_stored(
+    df: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Patch (column-granular) resolution over the STORED row shape
+    (payload + __seq + __deleted): one output row per key —
+
+    - a key with any live row after its last tombstone folds to per-column
+      latest-non-null values, ``__seq`` = max live seq, ``__deleted`` false
+      (the tombstone is superseded: every pre-delete row is removed by this
+      same fold, so nothing it guarded can resurface);
+    - a key whose last word is the tombstone keeps ONE tombstone row at the
+      delete's seq (dropped only by compaction's gc_horizon, same contract
+      as the row dialect).
+
+    Safe to apply to already-folded data (idempotent: a folded row is a
+    single live row that wins every per-column race). Plan: one window
+    (last-delete seq) + an aggregate on the same keys reusing the window's
+    partitioning — a single shuffle, mirroring lww_patch_reduce."""
+    payload_cols = [c for c in df.columns
+                    if c not in (*keys, SEQ_COL, DELETED_COL)]
+    w = Window.partitionBy(*keys)
+    last_del = F.max(
+        F.when(F.col(DELETED_COL), F.col(SEQ_COL))).over(w)
+    live = (~F.col(DELETED_COL)) & (
+        F.col(SEQ_COL) > F.coalesce(F.col("__last_del"),
+                                    F.lit(-(1 << 62))))
+    agg = (
+        df.withColumn("__last_del", last_del)
+        .withColumn("__live", live)
+        .groupBy(*keys)
+        .agg(
+            F.max(F.when(F.col("__live"), F.col(SEQ_COL))).alias("__live_seq"),
+            F.max(F.when(F.col(DELETED_COL), F.col(SEQ_COL))).alias("__del_seq"),
+            *[
+                F.max_by(
+                    F.col(c),
+                    F.when(F.col("__live") & F.col(c).isNotNull(),
+                           F.col(SEQ_COL)),
+                ).alias(c)
+                for c in payload_cols
+            ],
+        )
+    )
+    dead = F.col("__live_seq").isNull()
+
+    def out_col(c: str):
+        if c in keys:
+            return F.col(c)
+        if c == SEQ_COL:
+            return F.coalesce(
+                F.col("__live_seq"), F.col("__del_seq")).alias(SEQ_COL)
+        if c == DELETED_COL:
+            return dead.alias(DELETED_COL)
+        return F.when(~dead, F.col(c)).alias(c)
+
+    # preserve the input column order — writers/readers union by name, but
+    # a stable order keeps written files schema-identical to the row path
+    return agg.select(*[out_col(c) for c in df.columns])
+
+
 def _two_stage(df: DataFrame, keys, payload, order, salt_buckets: int) -> DataFrame:
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns if c not in keys]),
                   F.lit(salt_buckets)).alias("__salt")
@@ -208,13 +269,19 @@ def merge_lww(
 
     # 3. Union + ONE LWW reduce (tombstones included on both sides; partial
     # aggregation collapses in-batch duplicate keys map-side, so a separate
-    # in-batch pre-reduce would only add a shuffle).
-    hot_norm = hot_keys.select(*keys).distinct() if hot_keys is not None else None
+    # in-batch pre-reduce would only add a shuffle). The 'column' dialect
+    # resolves per-column latest-non-null instead (salting doesn't apply:
+    # its two-stage row fold would erase which column came from which seq).
     combined = target_subset.unionByName(batch_rows)
-    final = lww_reduce(
-        combined, keys, SEQ_COL,
-        salt_buckets=salt_buckets, hot_keys=hot_norm,
-    )
+    if snap.merge_dialect == "column":
+        final = patch_reduce_stored(combined, keys)
+    else:
+        hot_norm = (hot_keys.select(*keys).distinct()
+                    if hot_keys is not None else None)
+        final = lww_reduce(
+            combined, keys, SEQ_COL,
+            salt_buckets=salt_buckets, hot_keys=hot_norm,
+        )
 
     # Tombstones whose key never had a live target row are still kept so
     # later out-of-order updates can't resurrect; physical drop is GC's job.
@@ -286,6 +353,11 @@ def merge_lww_mor(
         f"CAST(`{seq_col}` AS BIGINT) AS `{SEQ_COL}`",
         f"(`{op_col}` = 'D') AS `{DELETED_COL}`",
     )
+    if snap.merge_dialect == "column":
+        # patch deltas must stay RAW: an in-batch row fold would collapse
+        # each key to one row and lose which column was set at which seq —
+        # resolution belongs to read_current/compact (patch_reduce_stored)
+        pre_reduce = False
     if pre_reduce:
         batch_rows = lww_reduce(batch_rows, keys, SEQ_COL, salt_buckets,
                                 hot_keys)
@@ -358,7 +430,11 @@ def compact(
                             properties=props, expected_version=snap.version)
     keep = [f for f in snap.files if f.bucket not in target_buckets]
     df = table.read(buckets=target_buckets)
-    final = lww_reduce(df, snap.merge_keys, SEQ_COL, salt_buckets, hot_keys)
+    if snap.merge_dialect == "column":
+        final = patch_reduce_stored(df, snap.merge_keys)
+    else:
+        final = lww_reduce(df, snap.merge_keys, SEQ_COL, salt_buckets,
+                           hot_keys)
     if gc_horizon_seq is not None:
         final = final.filter(
             ~(F.col(DELETED_COL) & (F.col(SEQ_COL) <= gc_horizon_seq)))
@@ -386,7 +462,10 @@ def read_current(table: LakeTable, version: int | None = None) -> DataFrame:
     df = table.read(version)
     snap = table.snapshot(version)
     if int(snap.properties.get("mor_deltas", 0)) > 0:
-        df = lww_reduce(df, snap.merge_keys, SEQ_COL)
+        if snap.merge_dialect == "column":
+            df = patch_reduce_stored(df, snap.merge_keys)
+        else:
+            df = lww_reduce(df, snap.merge_keys, SEQ_COL)
     if DELETED_COL in df.columns:
         df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL, SEQ_COL)
     return df
@@ -415,7 +494,10 @@ def point_lookup(
     df = table.read(version, buckets={bucket})
     for k in snap.bucket_cols:
         df = df.filter(F.col(k) == F.lit(key[k]))
-    df = lww_reduce(df, snap.merge_keys, SEQ_COL)
+    if snap.merge_dialect == "column":
+        df = patch_reduce_stored(df, snap.merge_keys)
+    else:
+        df = lww_reduce(df, snap.merge_keys, SEQ_COL)
     if DELETED_COL in df.columns:
         df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL, SEQ_COL)
     return df
@@ -478,6 +560,8 @@ def table_changes(
     def _state(snap: Snapshot) -> DataFrame:
         files = [f for f in snap.files if f.bucket in changed]
         df = table.read_file_set(files, snap_new)  # conform to NEW schema
+        if snap_new.merge_dialect == "column":
+            return patch_reduce_stored(df, keys)
         return lww_reduce(df, keys, SEQ_COL)
 
     old = _state(snap_old)

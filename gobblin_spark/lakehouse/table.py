@@ -163,6 +163,15 @@ class Snapshot:
         bucket_cols for manifests written before key_cols existed."""
         return self.key_cols if self.key_cols else self.bucket_cols
 
+    @property
+    def merge_dialect(self) -> str:
+        """'row' (default): whole-row LWW — the max-seq event carries every
+        column. 'column': patch semantics — null payload column = unchanged,
+        each column resolves to its latest non-null value (delete still
+        clears all state). Stored in properties at create time; properties
+        carry forward on every commit, so the dialect is durable."""
+        return self.properties.get("merge_dialect", "row")
+
     def to_json(self) -> dict[str, Any]:
         out = {
             "version": self.version,

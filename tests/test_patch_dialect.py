@@ -1,0 +1,175 @@
+"""Engine e2e for the 'column' (patch) merge dialect: Debezium/Mongo-style
+patch streams — null payload column = unchanged — through the FULL engine
+loop (planning, batching, MOR deltas + compaction or COW, restart, replay),
+converging to a pure-Python patch oracle. The dialect is a table property,
+so a restarted engine rediscovers it from the manifest."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from gobblin_spark.engine import CdcEngine
+from gobblin_spark.lakehouse import LakeTable
+from gobblin_spark.lakehouse.merge import point_lookup, read_current
+
+EVENT_SCHEMA = StructType([
+    StructField("seq", LongType()),
+    StructField("event_group", IntegerType()),
+    StructField("op", StringType()),
+    StructField("repo", StringType()),
+    StructField("path", StringType()),
+    StructField("commit", StringType()),
+    StructField("lang", StringType()),
+    StructField("content", StringType()),
+    StructField("schema_version", IntegerType()),
+    StructField("version", LongType()),
+    StructField("size_bytes", LongType()),
+])
+
+
+def patch_stream():
+    """Deterministic adversarial patch stream: interleaved single-column
+    patches, delete-clears-state, post-delete rebuild, duplicate
+    re-delivery, out-of-order seqs across 20 keys."""
+    rows = []
+    seq = 0
+
+    def ev(op, key, commit=None, lang=None, content=None):
+        nonlocal seq
+        rows.append((seq, key % 4, op, f"repo_{key % 3}", f"src/f{key}.txt",
+                     commit, lang, content, 1, 0,
+                     len(content) if content else None))
+        seq += 1
+
+    for k in range(20):
+        ev("U", k, commit=f"c{k}_0", lang="py", content=f"body {k} v0")
+    for k in range(20):            # patch only the commit
+        ev("U", k, commit=f"c{k}_1")
+    for k in range(0, 20, 2):      # patch only the content on even keys
+        ev("U", k, content=f"body {k} v2")
+    for k in range(0, 20, 5):      # delete every 5th key
+        ev("D", k)
+    for k in (0, 10):              # rebuild two deleted keys from scratch
+        ev("U", k, lang="rs")
+        ev("U", k, commit=f"c{k}_3")
+    # duplicate re-delivery of an early patch (exact content, later seq)
+    rows.append((seq, 1 % 4, "U", "repo_1", "src/f1.txt",
+                 "c1_1", None, None, 1, 0, None))
+    return rows
+
+
+def patch_oracle(rows):
+    """Pure-Python column-granular replay."""
+    per_key: dict[tuple, list] = {}
+    for r in sorted(rows, key=lambda r: r[0]):
+        per_key.setdefault((r[3], r[4]), []).append(r)
+    out = {}
+    for key, evs in per_key.items():
+        last_del = max((r[0] for r in evs if r[2] == "D"), default=None)
+        live = [r for r in evs if r[2] != "D"
+                and (last_del is None or r[0] > last_del)]
+        if not live:
+            continue
+        state = {}
+        for col, idx in (("commit", 5), ("lang", 6), ("content", 7)):
+            vals = [(r[0], r[idx]) for r in live if r[idx] is not None]
+            state[col] = max(vals)[1] if vals else None
+        out[key] = (state["commit"], state["lang"], state["content"])
+    return out
+
+
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_patch_dialect_engine_convergence(spark, tmp_table_dir, merge_mode):
+    rows = patch_stream()
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    want = patch_oracle(rows)
+
+    def make_engine():
+        return CdcEngine(
+            spark, events,
+            table_root=os.path.join(tmp_table_dir, merge_mode, "table"),
+            state_root=os.path.join(tmp_table_dir, merge_mode, "state"),
+            max_records_per_batch=25,
+            n_buckets=4,
+            merge_mode=merge_mode,
+            merge_dialect="column",
+            compact_every=2,
+        )
+
+    eng = make_engine()
+    first = eng.run_batch()
+    assert first is not None
+
+    if merge_mode == "mor":
+        # read across UNFOLDED deltas mid-run: patch resolution on read
+        mid = read_current(eng.table)
+        assert mid.count() > 0
+
+    # restart: dialect must be rediscovered from the table property, and
+    # the default 'row' argument must NOT override it
+    eng = CdcEngine(
+        spark, events,
+        table_root=os.path.join(tmp_table_dir, merge_mode, "table"),
+        state_root=os.path.join(tmp_table_dir, merge_mode, "state"),
+        max_records_per_batch=25,
+        n_buckets=4,
+        merge_mode=merge_mode,
+        compact_every=2,
+    )
+    assert eng.table.snapshot().merge_dialect == "column"
+    eng.run_until_caught_up()
+
+    got = {(r["repo"], r["path"]): (r["commit"], r["lang"], r["content"])
+           for r in read_current(eng.table).collect()}
+    assert got == want
+
+    # replay from scratch over the same state is a no-op
+    res = make_engine().run_until_caught_up()
+    assert res == []
+
+    # point lookup honors the dialect (rebuilt-after-delete key)
+    row = point_lookup(eng.table,
+                       {"repo": "repo_0", "path": "src/f0.txt"}).collect()
+    assert len(row) == 1
+    assert (row[0]["commit"], row[0]["lang"]) == ("c0_3", "rs")
+
+    # deleted, never-rebuilt key stays gone
+    assert point_lookup(eng.table,
+                        {"repo": "repo_2", "path": "src/f5.txt"}).count() == 0
+
+
+def test_patch_dialect_compaction_folds_and_gc(spark, tmp_table_dir):
+    """After compaction the table holds at most one row per key, values
+    still match the oracle, and gc_horizon drops dead tombstones."""
+    from gobblin_spark.lakehouse.merge import compact
+
+    rows = patch_stream()
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    eng = CdcEngine(
+        spark, events,
+        table_root=os.path.join(tmp_table_dir, "table"),
+        state_root=os.path.join(tmp_table_dir, "state"),
+        max_records_per_batch=30,
+        n_buckets=4,
+        merge_mode="mor",
+        merge_dialect="column",
+        compact_every=None,
+        compact_delta_ratio=None,
+    )
+    eng.run_until_caught_up()
+    t = eng.table
+    max_seq = max(r[0] for r in rows)
+    compact(t, gc_horizon_seq=max_seq)
+    stored = t.read()
+    # one row per key after the fold
+    assert stored.count() == stored.select("repo", "path").distinct().count()
+    # tombstones at/below the horizon are gone
+    assert stored.filter("__deleted").count() == 0
+    got = {(r["repo"], r["path"]): (r["commit"], r["lang"], r["content"])
+           for r in read_current(t).collect()}
+    assert got == patch_oracle(rows)
