@@ -68,6 +68,18 @@ def stream_ingest(
             spark, table_root, target_schema_for(registry, 1), KEYS,
             n_buckets=n_buckets, properties={"registry_version": 1},
         )
+    if table.snapshot().merge_dialect == "column":
+        # The per-epoch COW fold keeps one seq per ROW; patch correctness
+        # needs per-COLUMN seqs unless batches are seq-monotone. The batch
+        # engine guarantees that through planner admission (seq > committed
+        # watermark); a streaming epoch is file-granular and cannot, so a
+        # late cross-epoch patch could lose a per-column race to a folded
+        # row. Refuse rather than silently resurrect stale columns.
+        raise NotImplementedError(
+            "merge_dialect='column' is not supported by streaming ingest: "
+            "epoch boundaries don't guarantee the seq-monotone admission "
+            "patch folding relies on — use batch ingest "
+            "(run_job.py ingest --merge-dialect column)")
     store = StateStore(state_root)
     static_schema = spark.read.parquet(events_path).schema
 

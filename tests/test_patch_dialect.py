@@ -173,3 +173,26 @@ def test_patch_dialect_compaction_folds_and_gc(spark, tmp_table_dir):
     got = {(r["repo"], r["path"]): (r["commit"], r["lang"], r["content"])
            for r in read_current(t).collect()}
     assert got == patch_oracle(rows)
+
+
+def test_streaming_refuses_column_dialect(spark, tmp_table_dir):
+    """Streaming ingest must refuse a patch-dialect table: epoch boundaries
+    can't guarantee the seq-monotone admission the per-epoch fold needs."""
+    from pyspark.sql.types import StructType
+
+    from gobblin_spark.streaming.ingest import stream_ingest
+
+    rows = patch_stream()
+    ev_dir = os.path.join(tmp_table_dir, "ev")
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(ev_dir)
+    eng = CdcEngine(
+        spark, spark.read.parquet(ev_dir),
+        table_root=os.path.join(tmp_table_dir, "table"),
+        state_root=os.path.join(tmp_table_dir, "state"),
+        merge_dialect="column", n_buckets=4,
+    )
+    eng.run_batch()
+    with pytest.raises(NotImplementedError, match="column"):
+        stream_ingest(spark, ev_dir, os.path.join(tmp_table_dir, "table"),
+                      os.path.join(tmp_table_dir, "state"),
+                      os.path.join(tmp_table_dir, "ckpt"))
