@@ -196,3 +196,49 @@ def test_streaming_refuses_column_dialect(spark, tmp_table_dir):
         stream_ingest(spark, ev_dir, os.path.join(tmp_table_dir, "table"),
                       os.path.join(tmp_table_dir, "state"),
                       os.path.join(tmp_table_dir, "ckpt"))
+
+
+def test_patch_dialect_across_schema_evolution(spark, tmp_table_dir):
+    """Patch semantics compose with the schema registry: v1-era rows (no
+    size_bytes), an op='S' marker evolving the target to v2, then v2 patch
+    rows setting ONLY size_bytes. The new column backfills per key from its
+    latest non-null value; untouched keys read null; unrelated columns keep
+    their pre-evolution values (read-time conformance + per-column fold)."""
+    rows = []
+    # v1 era: full rows for keys 0..5
+    for k in range(6):
+        rows.append((k, k % 4, "U", f"repo_{k % 3}", f"src/f{k}.txt",
+                     f"c{k}", "py", f"body {k}", 1, 0, None))
+    # schema-change marker at seq 6 (v2 adds size_bytes int)
+    rows.append((6, 0, "S", None, None, None, None, None, 2, 0, None))
+    # v2 era: size_bytes-only patches for even keys + one commit patch
+    for i, k in enumerate(range(0, 6, 2)):
+        rows.append((7 + i, k % 4, "U", f"repo_{k % 3}", f"src/f{k}.txt",
+                     None, None, None, 2, 0, 1000 + k))
+    rows.append((10, 1 % 4, "U", "repo_1", "src/f1.txt",
+                 "c1_v2", None, None, 2, 0, None))
+
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    eng = CdcEngine(
+        spark, events,
+        table_root=os.path.join(tmp_table_dir, "table"),
+        state_root=os.path.join(tmp_table_dir, "state"),
+        max_records_per_batch=5,  # evolution happens mid-run
+        n_buckets=4,
+        merge_mode="mor",
+        merge_dialect="column",
+        compact_every=2,
+    )
+    eng.run_until_caught_up()
+    assert int(eng.table.snapshot().properties["registry_version"]) >= 2
+
+    got = {(r["repo"], r["path"]): (r["commit"], r["content"],
+                                    r["size_bytes"])
+           for r in read_current(eng.table).collect()}
+    assert got[("repo_0", "src/f0.txt")] == ("c0", "body 0", 1000)
+    assert got[("repo_2", "src/f2.txt")] == ("c2", "body 2", 1002)
+    # commit patched in v2, size never set -> null; body kept from v1
+    assert got[("repo_1", "src/f1.txt")] == ("c1_v2", "body 1", None)
+    # untouched v1 keys: evolved column reads null
+    assert got[("repo_0", "src/f3.txt")] == ("c3", "body 3", None)
+    assert len(got) == 6
