@@ -35,12 +35,48 @@ N_UPDATES = int(os.environ.get("BENCH_EVENTS", "1200000"))
 BATCHES = int(os.environ.get("BENCH_BATCHES", "4"))
 
 
+def host_supply_probe(n_cores: int = 8, seconds: float = 3.0) -> dict:
+    """Zero-engine control sampled at bench start: sha256 iterations and
+    memcpy MB/s across n_cores pinned processes. This VM's sustained supply
+    swings >10x between windows (identical engine code measured 82.9k and
+    6.8k events/sec an hour apart) — the probe makes every recorded number
+    carry its own host calibration so a degraded window is identifiable
+    from the artifact alone."""
+    import subprocess
+
+    code = (
+        "import hashlib,time,os,sys\n"
+        "c=int(sys.argv[1]);s=float(sys.argv[2])\n"
+        "try: os.sched_setaffinity(0,{c})\n"
+        "except Exception: pass\n"
+        "buf=b'x'*4096;h=hashlib.sha256();t=time.time()+s/2;n=0\n"
+        "while time.time()<t:\n"
+        " for _ in range(200): h.update(buf)\n"
+        " n+=200\n"
+        "big=bytearray(32*1024*1024);t0=time.time();t=t0+s/2;m=0\n"
+        "while time.time()<t: _=bytes(big);m+=1\n"
+        "print(n/(s/2), m*32/max(1e-9,time.time()-t0))\n"
+    )
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(c), str(seconds)],
+                              stdout=subprocess.PIPE, text=True)
+             for c in range(n_cores)]
+    sha = bw = 0.0
+    for p in procs:
+        out, _ = p.communicate()
+        a, b = out.split()
+        sha += float(a)
+        bw += float(b)
+    return {"n_cores": n_cores, "sha_iters_per_s": round(sha, 0),
+            "copy_mb_per_s": round(bw, 1)}
+
+
 def main() -> None:
     from gobblin_spark.engine import CdcEngine
     from gobblin_spark.session import get_spark
     from gobblin_spark.sources import generate_change_events
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    probe = host_supply_probe()
     spark = get_spark("gobblin-spark-bench", parallelism=CPUS,
                       shuffle_partitions=max(CPUS, 16))
     spark.sparkContext.setLogLevel("ERROR")
@@ -172,6 +208,7 @@ def main() -> None:
         "merge_modes": modes,
         "cpus": CPUS,
         "sf": sf,
+        "host_supply_probe": probe,
         "queries": per_query,
         "phase_timings": timings,
     }
