@@ -254,6 +254,45 @@ FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment: every 'error' event joined to the latest
+    prior-or-equal non-error event of the same user — the union+window
+    rendering (one shuffle, O(n+m)) checked against DuckDB's native
+    ASOF LEFT JOIN."""
+    from gobblin_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.round("value", 6).alias("value"))
+    prior = ev.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("event_id").alias("rt"),
+        F.col("event_id").alias("prior_event_id"),
+        F.col("event_type").alias("prior_type"),
+    )
+    return (
+        asof_join(errors, prior, ["user_id"], "event_id", "rt",
+                  payload=["prior_event_id", "prior_type"])
+        .select("user_id", "event_id", "value", "prior_event_id",
+                "prior_type")
+        .orderBy("user_id", "event_id")
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH l AS (
+  SELECT user_id, event_id, round(value, 6) AS value
+  FROM events WHERE event_type = 'error'),
+r AS (
+  SELECT user_id, event_id AS rt, event_id AS prior_event_id,
+         event_type AS prior_type
+  FROM events WHERE event_type <> 'error')
+SELECT l.user_id, l.event_id, l.value, r.prior_event_id, r.prior_type
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.event_id >= r.rt
+ORDER BY l.user_id, l.event_id
+"""
+
+
 def q_cdc_changelog_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same changelog semantics with MERGE-ON-READ applies and the deltas
     left UNFOLDED — table_changes must LWW-resolve base+delta on both ends
@@ -1649,6 +1688,7 @@ QUERIES = {
     "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_patch_final_state": q_cdc_patch_final_state,
     "cdc_point_lookup": q_cdc_point_lookup,
+    "events_asof_join": q_events_asof_join,
     "cdc_changelog": q_cdc_changelog,
     "cdc_changelog_mor": q_cdc_changelog_mor,
     "plan_watermark_ranges": q_plan_watermark_ranges,
@@ -1694,6 +1734,7 @@ def oracle_sqls() -> dict[str, str]:
         "cdc_lww_salted": SQL_CDC_LWW,  # same semantics, salted path
         "cdc_patch_final_state": SQL_CDC_PATCH,
         "cdc_point_lookup": SQL_CDC_POINT_LOOKUP,
+        "events_asof_join": SQL_ASOF_JOIN,
         "cdc_changelog": SQL_CDC_CHANGELOG,
         "cdc_changelog_mor": SQL_CDC_CHANGELOG,  # same semantics, MOR path
         "plan_watermark_ranges": SQL_PLAN_WATERMARK,
