@@ -339,6 +339,7 @@ def cmd_stream(args) -> int:
         salt_buckets=args.salt_buckets,
         n_buckets=args.buckets,
         max_files_per_trigger=args.max_files_per_trigger,
+        merge_dialect=args.merge_dialect,
     )
     q.awaitTermination()
     table = LakeTable(spark, args.table)
@@ -527,9 +528,11 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--buckets", type=int, default=32,
                      help="hash buckets of a newly created target table")
     ing.add_argument("--max-batches", type=int, default=1000)
-    ing.add_argument("--merge-dialect", choices=["row", "column"],
+    ing.add_argument("--merge-dialect", choices=["row", "column", "cell"],
                      default="row", help="'column' = patch semantics: null "
-                     "payload column in an update means unchanged")
+                     "payload column in an update means unchanged; 'cell' = "
+                     "same patch semantics with per-column write seqs "
+                     "(order-independent folds, also valid for streaming)")
     ing.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
                      help="cow: rewrite affected buckets per batch; "
                           "mor: append deltas, compact periodically")
@@ -644,6 +647,11 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--state", required=True)
     st.add_argument("--checkpoint", required=True,
                     help="Spark streaming checkpoint dir")
+    st.add_argument("--merge-dialect", choices=["row", "cell"],
+                    default="row",
+                    help="'cell' = patch semantics with per-column write "
+                         "seqs (the order-independent dialect streaming "
+                         "epochs require; 'column' is batch-only)")
     st.add_argument("--interval", default="",
                     help="processing-time trigger (e.g. '30 seconds'); "
                          "empty = availableNow drain-and-exit")

@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     BooleanType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -47,7 +48,9 @@ from pyspark.sql.types import (
 
 from gobblin_spark.lakehouse import LakeTable, merge_lww
 from gobblin_spark.lakehouse.merge import (
+    CELLS_COL,
     DELETED_COL,
+    DELSEQ_COL,
     SEQ_COL,
     compact,
     merge_lww_mor,
@@ -104,12 +107,18 @@ def default_registry(path: str | None = None) -> SchemaRegistry:
     return reg
 
 
-def target_schema_for(registry: SchemaRegistry, version: int) -> StructType:
+def target_schema_for(registry: SchemaRegistry, version: int,
+                      dialect: str = "row") -> StructType:
     base = registry.schema(version)
-    return StructType(
-        base.fields
-        + [StructField(SEQ_COL, LongType()), StructField(DELETED_COL, BooleanType())]
-    )
+    fields = base.fields + [
+        StructField(SEQ_COL, LongType()), StructField(DELETED_COL, BooleanType())
+    ]
+    if dialect == "cell":
+        fields = fields + [
+            StructField(CELLS_COL, MapType(StringType(), LongType())),
+            StructField(DELSEQ_COL, LongType()),
+        ]
+    return StructType(fields)
 
 
 def evolve_target_to(table: "LakeTable", registry: SchemaRegistry,
@@ -134,7 +143,7 @@ def evolve_target_to(table: "LakeTable", registry: SchemaRegistry,
         snap = table.commit(
             keep_files=snap.files,
             add_files=[],
-            schema=target_schema_for(registry, nxt),
+            schema=target_schema_for(registry, nxt, snap.merge_dialect),
             schema_version=nxt,
             schema_log_append=log,
             properties={"registry_version": nxt},
@@ -193,11 +202,17 @@ class CdcEngine:
         'cluster' (one shuffle, one file per bucket) or 'fanout' (no
         shuffle, per-task bucketed files; see LakeTable.write_data_files).
 
-        merge_dialect: 'row' (whole-row LWW) or 'column' (patch semantics:
+        merge_dialect: 'row' (whole-row LWW), 'column' (patch semantics:
         a null payload column in an update means "unchanged"; each column
         resolves to its latest non-null value, deletes clear all state —
-        Debezium/Mongo-style patch streams). Stored on the table at create;
-        an existing table's dialect wins over this argument."""
+        Debezium/Mongo-style patch streams; folds rely on the planner's
+        seq-monotone batch admission), or 'cell' (same patch semantics,
+        but each stored column carries its own write seq and the max delete
+        seq is retained — Cassandra-style cell timestamps, making the fold
+        order-independent so it is also safe for streaming epochs and any
+        non-monotone replay; costs one map<string,bigint> per stored row).
+        Stored on the table at create; an existing table's dialect wins
+        over this argument."""
         self.spark = spark
         self._events = events
         self.registry = registry or default_registry()
@@ -220,7 +235,7 @@ class CdcEngine:
         self.err_path = err_path
         assert merge_mode in ("cow", "mor")
         self.merge_mode = merge_mode
-        assert merge_dialect in ("row", "column")
+        assert merge_dialect in ("row", "column", "cell")
         assert delta_distribution in ("cluster", "fanout")
         self.delta_distribution = delta_distribution
         # Compaction triggers (MOR), OR'd — ≙ MRCompactor.java:147-157,
@@ -245,7 +260,7 @@ class CdcEngine:
             self.table = LakeTable.create(
                 spark,
                 table_root,
-                target_schema_for(self.registry, 1),
+                target_schema_for(self.registry, 1, merge_dialect),
                 KEYS,
                 n_buckets=n_buckets,
                 properties={"registry_version": 1,

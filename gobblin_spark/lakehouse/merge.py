@@ -46,6 +46,10 @@ from gobblin_spark.lakehouse.table import LakeTable, Snapshot, bucket_expr
 # System columns stored in the target table.
 SEQ_COL = "__seq"
 DELETED_COL = "__deleted"
+# Cell-dialect extras: per-column write seqs + retained max delete seq.
+CELLS_COL = "__cells"
+DELSEQ_COL = "__del_seq"
+META_COLS = (SEQ_COL, DELETED_COL, CELLS_COL, DELSEQ_COL)
 
 
 def lww_reduce(
@@ -209,6 +213,140 @@ def patch_reduce_stored(
     return agg.select(*[out_col(c) for c in df.columns])
 
 
+def batch_to_stored(
+    batch: DataFrame,
+    payload_cols: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    dialect: str,
+) -> DataFrame:
+    """Normalize a raw change-event batch (payload + seq + op) to the stored
+    row shape of a target table: delete → tombstone row, and for the 'cell'
+    dialect additionally ``__cells`` (payload column → the seq that wrote it,
+    only for columns this event actually set) and ``__del_seq`` (the seq of a
+    delete event, else null)."""
+    exprs = [f"`{c}`" for c in payload_cols] + [
+        f"CAST(`{seq_col}` AS BIGINT) AS `{SEQ_COL}`",
+        f"(`{op_col}` = 'D') AS `{DELETED_COL}`",
+    ]
+    if dialect == "cell":
+        pairs = ", ".join(
+            f"'{c}', IF(`{op_col}` <> 'D' AND `{c}` IS NOT NULL, "
+            f"CAST(`{seq_col}` AS BIGINT), CAST(NULL AS BIGINT))"
+            for c in payload_cols
+        )
+        cells = (f"map_filter(map({pairs}), (k, v) -> v IS NOT NULL)"
+                 if pairs else "CAST(map() AS MAP<STRING, BIGINT>)")
+        exprs.append(f"{cells} AS `{CELLS_COL}`")
+        exprs.append(
+            f"IF(`{op_col}` = 'D', CAST(`{seq_col}` AS BIGINT), "
+            f"CAST(NULL AS BIGINT)) AS `{DELSEQ_COL}`")
+    return batch.selectExpr(*exprs)
+
+
+def cell_reduce_stored(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Patch resolution over the CELL-dialect stored shape (payload +
+    ``__seq`` + ``__deleted`` + ``__cells`` map<col,seq> + ``__del_seq``):
+    one output row per key.
+
+    Unlike ``patch_reduce_stored`` — which attributes every surviving column
+    of a folded row to the row's max seq and is therefore only correct when
+    folds happen in seq-monotone order (the batch planner's admission
+    guarantee) — this fold carries each column's ORIGINAL write seq in the
+    ``__cells`` map and the maximum delete seq in ``__del_seq`` even when the
+    key is live (Cassandra-style cell timestamps + tombstone retention). That
+    makes the fold **associative and commutative**: fold(fold(A), B) =
+    fold(A ∪ B) for any split and any arrival order, so COW merges,
+    compaction and STREAMING epochs may fold in any order without
+    resurrecting stale columns or dropped pre-delete state. The two failure
+    modes this closes (both reachable in the 'column' dialect under
+    cross-epoch disorder):
+
+    - stale-cell win: fold attributes col a (set at seq 3) to the row max
+      seq 7; a late a@4 would lose 4 < 7. Here a's cell seq stays 3 → 4 wins.
+    - tombstone loss: fold sees D@4 superseded by b@7 and drops the delete;
+      a late c@3 (pre-delete state) would resurface. Here ``__del_seq`` = 4
+      is retained on the live row and kills any cell ≤ 4.
+
+    Per-column race: latest cell by cell seq, cells ≤ the key's max delete
+    seq excluded. Key liveness: any non-tombstone row with ``__seq`` greater
+    than the max delete seq (an all-null patch still counts, mirroring
+    ``lww_patch_reduce``). Plan shape: one window (max delete seq per key) +
+    one aggregate on the same keys reusing the window's partitioning — a
+    single shuffle, same as the other stored reduces. Retained ``__del_seq``
+    on live keys costs 8 bytes/key and is nulled only by tombstone GC
+    semantics (events older than the horizon are out of contract)."""
+    payload_cols = [c for c in df.columns if c not in (*keys, *META_COLS)]
+    w = Window.partitionBy(*keys)
+    neg = F.lit(-(1 << 62))
+    df2 = df.withColumn(
+        "__last_del", F.coalesce(F.max(F.col(DELSEQ_COL)).over(w), neg))
+
+    def cell_seq(c: str):
+        s = F.element_at(F.col(CELLS_COL), F.lit(c))
+        return F.when(s > F.col("__last_del"), s)
+
+    aggs = [
+        F.max(
+            F.when((~F.col(DELETED_COL))
+                   & (F.col(SEQ_COL) > F.col("__last_del")),
+                   F.col(SEQ_COL))
+        ).alias("__live_seq"),
+        F.max(F.col(DELSEQ_COL)).alias("__del_max"),
+    ]
+    for c in payload_cols:
+        aggs.append(F.max_by(F.col(c), cell_seq(c)).alias(c))
+        aggs.append(F.max(cell_seq(c)).alias(f"__cs_{c}"))
+    agg = df2.groupBy(*keys).agg(*aggs)
+    dead = F.col("__live_seq").isNull()
+    if payload_cols:
+        cells_out = F.map_filter(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in payload_cols]),
+                F.array(*[F.col(f"__cs_{c}") for c in payload_cols]),
+            ),
+            lambda k, v: v.isNotNull(),
+        )
+    else:
+        cells_out = F.expr("CAST(map() AS MAP<STRING, BIGINT>)")
+
+    def out_col(c: str):
+        if c in keys:
+            return F.col(c)
+        if c == SEQ_COL:
+            return F.coalesce(
+                F.col("__live_seq"), F.col("__del_max")).alias(SEQ_COL)
+        if c == DELETED_COL:
+            return dead.alias(DELETED_COL)
+        if c == CELLS_COL:
+            return F.when(~dead, cells_out).otherwise(
+                F.expr("CAST(map() AS MAP<STRING, BIGINT>)")
+            ).alias(CELLS_COL)
+        if c == DELSEQ_COL:
+            return F.col("__del_max").alias(DELSEQ_COL)
+        return F.when(~dead, F.col(c)).alias(c)
+
+    return agg.select(*[out_col(c) for c in df.columns])
+
+
+def stored_reduce(
+    snap: Snapshot,
+    df: DataFrame,
+    keys: Sequence[str],
+    salt_buckets: int = 0,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Dialect-routed LWW resolution over stored rows. Salting applies only
+    to the row dialect: the patch/cell folds are single declarative
+    aggregates whose per-column races a two-stage row fold would break."""
+    if snap.merge_dialect == "column":
+        return patch_reduce_stored(df, keys)
+    if snap.merge_dialect == "cell":
+        return cell_reduce_stored(df, keys)
+    return lww_reduce(df, keys, SEQ_COL,
+                      salt_buckets=salt_buckets, hot_keys=hot_keys)
+
+
 def _two_stage(df: DataFrame, keys, payload, order, salt_buckets: int) -> DataFrame:
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns if c not in keys]),
                   F.lit(salt_buckets)).alias("__salt")
@@ -249,17 +387,13 @@ def merge_lww(
             f"merge keys {list(keys)} != table keys {snap.merge_keys}"
         )
     payload_cols = [
-        f.name
-        for f in snap.schema.fields
-        if f.name not in (SEQ_COL, DELETED_COL)
+        f.name for f in snap.schema.fields if f.name not in META_COLS
     ]
 
-    # 1. Normalize batch rows to the target row shape (delete → tombstone).
-    batch_rows = batch.selectExpr(
-        *[f"`{c}`" for c in payload_cols],
-        f"CAST(`{seq_col}` AS BIGINT) AS `{SEQ_COL}`",
-        f"(`{op_col}` = 'D') AS `{DELETED_COL}`",
-    )
+    # 1. Normalize batch rows to the target row shape (delete → tombstone;
+    # cell dialect adds per-column write seqs + delete seq).
+    batch_rows = batch_to_stored(
+        batch, payload_cols, seq_col, op_col, snap.merge_dialect)
 
     # 2. Bucket pruning: which table buckets do batch keys hash into?
     # (distinct over a hash expr on the raw batch — no reduce, O(B) result)
@@ -273,15 +407,10 @@ def merge_lww(
     # resolves per-column latest-non-null instead (salting doesn't apply:
     # its two-stage row fold would erase which column came from which seq).
     combined = target_subset.unionByName(batch_rows)
-    if snap.merge_dialect == "column":
-        final = patch_reduce_stored(combined, keys)
-    else:
-        hot_norm = (hot_keys.select(*keys).distinct()
-                    if hot_keys is not None else None)
-        final = lww_reduce(
-            combined, keys, SEQ_COL,
-            salt_buckets=salt_buckets, hot_keys=hot_norm,
-        )
+    hot_norm = (hot_keys.select(*keys).distinct()
+                if hot_keys is not None else None)
+    final = stored_reduce(snap, combined, keys,
+                          salt_buckets=salt_buckets, hot_keys=hot_norm)
 
     # Tombstones whose key never had a live target row are still kept so
     # later out-of-order updates can't resurrect; physical drop is GC's job.
@@ -346,17 +475,16 @@ def merge_lww_mor(
             f"merge keys {list(keys)} != table keys {snap.merge_keys}"
         )
     payload_cols = [
-        f.name for f in snap.schema.fields if f.name not in (SEQ_COL, DELETED_COL)
+        f.name for f in snap.schema.fields if f.name not in META_COLS
     ]
-    batch_rows = batch.selectExpr(
-        *[f"`{c}`" for c in payload_cols],
-        f"CAST(`{seq_col}` AS BIGINT) AS `{SEQ_COL}`",
-        f"(`{op_col}` = 'D') AS `{DELETED_COL}`",
-    )
-    if snap.merge_dialect == "column":
-        # patch deltas must stay RAW: an in-batch row fold would collapse
-        # each key to one row and lose which column was set at which seq —
-        # resolution belongs to read_current/compact (patch_reduce_stored)
+    batch_rows = batch_to_stored(
+        batch, payload_cols, seq_col, op_col, snap.merge_dialect)
+    if snap.merge_dialect in ("column", "cell"):
+        # patch deltas stay RAW: a row fold would collapse each key to one
+        # row; for 'column' that loses which column was set at which seq
+        # (resolution belongs to read_current/compact), and for 'cell' the
+        # raw append is simply the cheapest correct delta (the cell fold
+        # WOULD be safe, but folding per batch buys nothing MOR wants).
         pre_reduce = False
     if pre_reduce:
         batch_rows = lww_reduce(batch_rows, keys, SEQ_COL, salt_buckets,
@@ -430,11 +558,7 @@ def compact(
                             properties=props, expected_version=snap.version)
     keep = [f for f in snap.files if f.bucket not in target_buckets]
     df = table.read(buckets=target_buckets)
-    if snap.merge_dialect == "column":
-        final = patch_reduce_stored(df, snap.merge_keys)
-    else:
-        final = lww_reduce(df, snap.merge_keys, SEQ_COL, salt_buckets,
-                           hot_keys)
+    final = stored_reduce(snap, df, snap.merge_keys, salt_buckets, hot_keys)
     if gc_horizon_seq is not None:
         final = final.filter(
             ~(F.col(DELETED_COL) & (F.col(SEQ_COL) <= gc_horizon_seq)))
@@ -462,12 +586,10 @@ def read_current(table: LakeTable, version: int | None = None) -> DataFrame:
     df = table.read(version)
     snap = table.snapshot(version)
     if int(snap.properties.get("mor_deltas", 0)) > 0:
-        if snap.merge_dialect == "column":
-            df = patch_reduce_stored(df, snap.merge_keys)
-        else:
-            df = lww_reduce(df, snap.merge_keys, SEQ_COL)
+        df = stored_reduce(snap, df, snap.merge_keys)
     if DELETED_COL in df.columns:
-        df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL, SEQ_COL)
+        df = (df.filter(~F.col(DELETED_COL))
+                .drop(DELETED_COL, SEQ_COL, CELLS_COL, DELSEQ_COL))
     return df
 
 
@@ -494,12 +616,10 @@ def point_lookup(
     df = table.read(version, buckets={bucket})
     for k in snap.bucket_cols:
         df = df.filter(F.col(k) == F.lit(key[k]))
-    if snap.merge_dialect == "column":
-        df = patch_reduce_stored(df, snap.merge_keys)
-    else:
-        df = lww_reduce(df, snap.merge_keys, SEQ_COL)
+    df = stored_reduce(snap, df, snap.merge_keys)
     if DELETED_COL in df.columns:
-        df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL, SEQ_COL)
+        df = (df.filter(~F.col(DELETED_COL))
+                .drop(DELETED_COL, SEQ_COL, CELLS_COL, DELSEQ_COL))
     return df
 
 
@@ -560,27 +680,32 @@ def table_changes(
     def _state(snap: Snapshot) -> DataFrame:
         files = [f for f in snap.files if f.bucket in changed]
         df = table.read_file_set(files, snap_new)  # conform to NEW schema
-        if snap_new.merge_dialect == "column":
-            return patch_reduce_stored(df, keys)
-        return lww_reduce(df, keys, SEQ_COL)
+        return stored_reduce(snap_new, df, keys)
 
     old = _state(snap_old)
     new = _state(snap_new)
-    payload = [c for c in new.columns if c not in (*keys, SEQ_COL, DELETED_COL)]
+    payload = [c for c in new.columns if c not in (*keys, *META_COLS)]
 
     n = new.alias("n")
     o = old.alias("o")
     j = n.join(o, on=list(keys), how="full_outer")
     n_live = F.col(f"n.{DELETED_COL}").isNotNull() & ~F.col(f"n.{DELETED_COL}")
     o_live = F.col(f"o.{DELETED_COL}").isNotNull() & ~F.col(f"o.{DELETED_COL}")
+    if snap_new.merge_dialect == "cell":
+        # Cell state identity is the cell map, not the row max seq: a late
+        # patch OLDER than the key's max seq still changes a column without
+        # moving __seq. Maps aren't directly comparable — compare sorted
+        # entry arrays.
+        ident_changed = (
+            F.sort_array(F.map_entries(F.col(f"n.{CELLS_COL}")))
+            != F.sort_array(F.map_entries(F.col(f"o.{CELLS_COL}")))
+        )
+    else:
+        ident_changed = F.col(f"n.{SEQ_COL}") != F.col(f"o.{SEQ_COL}")
     change = (
         F.when(n_live & ~o_live, F.lit("insert"))
         .when(~n_live & o_live, F.lit("delete"))
-        .when(
-            n_live & o_live
-            & (F.col(f"n.{SEQ_COL}") != F.col(f"o.{SEQ_COL}")),
-            F.lit("update"),
-        )
+        .when(n_live & o_live & ident_changed, F.lit("update"))
     )
     sel = list(keys) + [
         F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c) for c in payload

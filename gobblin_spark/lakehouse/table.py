@@ -685,6 +685,17 @@ class LakeTable:
             typ = f_.dataType.simpleString()
             if f_.name in added:
                 exprs.append(f"CAST(NULL AS {typ}) AS `{f_.name}`")
+            elif f_.name == "__cells" and renames:
+                # cell-dialect per-column seq map: keys are the column
+                # names AS WRITTEN, so renamed columns must have their map
+                # keys rewritten too or their cells lose the seq race
+                cases = " ".join(
+                    f"WHEN k = '{hist}' THEN '{cur_name}'"
+                    for cur_name, hist in renames.items()
+                )
+                exprs.append(
+                    f"transform_keys(`__cells`, (k, v) -> "
+                    f"CASE {cases} ELSE k END) AS `__cells`")
             else:
                 src = renames.get(f_.name, f_.name)
                 exprs.append(f"CAST(`{src}` AS {typ}) AS `{f_.name}`")

@@ -108,6 +108,46 @@ FROM live GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_cdc_patch_cell_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'cell' dialect's defining property, exercised in the correctness
+    gate itself: the SAME patch stream as cdc_patch_final_state, but split
+    into three maximally-interleaved chunks (seq % 3) and folded chunk-by-
+    chunk IN DISORDER via cell_reduce_stored — fold(fold(fold(A), B), C)
+    where each chunk spans the whole seq range. Per-column write seqs +
+    retained delete seqs make the fold associative, so the out-of-order
+    incremental fold must equal the DuckDB full-replay oracle bit-exactly
+    (the 'column' dialect fold would corrupt under this split)."""
+    ev = load(spark, sf_dir, "events")
+    from gobblin_spark.lakehouse.merge import (
+        batch_to_stored,
+        cell_reduce_stored,
+    )
+
+    stream = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("user_id"),
+        F.when(F.col("event_id") % 2 == 0, F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 3 > 0, F.round("value", 6)).alias("value"),
+    )
+    payload = ["user_id", "event_type", "value"]
+    chunks = [
+        batch_to_stored(stream.filter(F.col("seq") % 3 == i),
+                        payload, "seq", "op", "cell")
+        for i in (2, 0, 1)  # non-monotone arrival order
+    ]
+    folded = cell_reduce_stored(chunks[0], ["user_id"])
+    for ch in chunks[1:]:
+        folded = cell_reduce_stored(folded.unionByName(ch), ["user_id"])
+    return (
+        folded.filter(~F.col("__deleted"))
+        .select("user_id", F.col("__seq").alias("last_seq"),
+                "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
 def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental changelog read (table_changes): apply the events stream
     to a REAL LakeTable in two watermark-bounded merge batches, then diff
@@ -1687,6 +1727,7 @@ QUERIES = {
     "cdc_lww_final_state": q_cdc_lww_final_state,
     "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_patch_final_state": q_cdc_patch_final_state,
+    "cdc_patch_cell_final_state": q_cdc_patch_cell_final_state,
     "cdc_point_lookup": q_cdc_point_lookup,
     "events_asof_join": q_events_asof_join,
     "cdc_changelog": q_cdc_changelog,
@@ -1733,6 +1774,9 @@ def oracle_sqls() -> dict[str, str]:
         "cdc_lww_final_state": SQL_CDC_LWW,
         "cdc_lww_salted": SQL_CDC_LWW,  # same semantics, salted path
         "cdc_patch_final_state": SQL_CDC_PATCH,
+        # same final state as the monotone full replay — that equality under
+        # an out-of-order incremental fold IS the property under test
+        "cdc_patch_cell_final_state": SQL_CDC_PATCH,
         "cdc_point_lookup": SQL_CDC_POINT_LOOKUP,
         "events_asof_join": SQL_ASOF_JOIN,
         "cdc_changelog": SQL_CDC_CHANGELOG,

@@ -53,6 +53,7 @@ def stream_ingest(
     salt_buckets: int = 0,
     n_buckets: int = 32,
     max_files_per_trigger: int | None = None,
+    merge_dialect: str = "row",
 ):
     """Run the streaming ingest; returns the StreamingQuery.
 
@@ -61,12 +62,16 @@ def stream_ingest(
     ``processing_interval``.
     """
     registry = registry or default_registry()
+    assert merge_dialect in ("row", "cell")
     if LakeTable.exists(table_root):
         table = LakeTable(spark, table_root)
     else:
         table = LakeTable.create(
-            spark, table_root, target_schema_for(registry, 1), KEYS,
-            n_buckets=n_buckets, properties={"registry_version": 1},
+            spark, table_root,
+            target_schema_for(registry, 1, merge_dialect), KEYS,
+            n_buckets=n_buckets,
+            properties={"registry_version": 1,
+                        "merge_dialect": merge_dialect},
         )
     if table.snapshot().merge_dialect == "column":
         # The per-epoch COW fold keeps one seq per ROW; patch correctness
@@ -74,12 +79,15 @@ def stream_ingest(
         # engine guarantees that through planner admission (seq > committed
         # watermark); a streaming epoch is file-granular and cannot, so a
         # late cross-epoch patch could lose a per-column race to a folded
-        # row. Refuse rather than silently resurrect stale columns.
+        # row. Refuse rather than silently resurrect stale columns. For
+        # patch semantics under a stream, use merge_dialect='cell': its
+        # per-column write seqs make the fold order-independent.
         raise NotImplementedError(
             "merge_dialect='column' is not supported by streaming ingest: "
             "epoch boundaries don't guarantee the seq-monotone admission "
             "patch folding relies on — use batch ingest "
-            "(run_job.py ingest --merge-dialect column)")
+            "(run_job.py ingest --merge-dialect column) or the order-"
+            "independent 'cell' dialect for streaming patch upserts")
     store = StateStore(state_root)
     static_schema = spark.read.parquet(events_path).schema
 
