@@ -88,6 +88,36 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_bootstrap(args) -> int:
+    """Initial full-snapshot load + CDC handoff (≙ the reference's
+    SNAPSHOT_ONLY full dump before APPEND watermark pulls; Debezium
+    initial snapshot → binlog position handoff). After this, `ingest`
+    against the same --state tails only events with seq > --watermark."""
+    from gobblin_spark.bootstrap import bootstrap_snapshot
+
+    spark = _get_session(args)
+    snapshot = spark.read.parquet(args.source)
+    if args.groups:
+        groups = list(range(args.groups))
+    elif args.events:
+        rows = (spark.read.parquet(args.events)
+                .select("event_group").distinct().collect())
+        groups = [int(r.event_group) for r in rows]
+    else:
+        raise SystemExit("one of --groups / --events is required (the "
+                         "change stream's partition list)")
+    t0 = time.time()
+    res = bootstrap_snapshot(
+        spark, snapshot, args.table, args.state,
+        watermark=args.watermark, groups=groups,
+        n_buckets=args.buckets, merge_dialect=args.merge_dialect,
+        distribution=args.distribution, verify_unique=args.verify_unique,
+    )
+    res["wall_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_tail(args) -> int:
     """Incremental directory tail: snapshot-diff file discovery composed
     with the CDC batch loop (≙ the reference's FileBasedSource feeding a
@@ -547,6 +577,35 @@ def main(argv: list[str] | None = None) -> int:
                      help="dev only: build a local[N] session instead of "
                           "using the spark-submit session")
 
+    bo = sub.add_parser(
+        "bootstrap",
+        help="initial full-snapshot load, then ingest tails seq > watermark")
+    bo.add_argument("--source", required=True,
+                    help="parquet path of the source table's consistent "
+                         "snapshot (payload columns of schema v1)")
+    bo.add_argument("--table", required=True)
+    bo.add_argument("--state", required=True)
+    bo.add_argument("--watermark", type=int, required=True,
+                    help="change-stream position the snapshot reflects; "
+                         "ingest resumes at seq > watermark")
+    bo.add_argument("--groups", type=int, default=0,
+                    help="number of event groups (stream partitions): "
+                         "groups 0..N-1 get the handoff watermark")
+    bo.add_argument("--events", default=None,
+                    help="alternative to --groups: derive the group list "
+                         "from this change-event parquet path")
+    bo.add_argument("--buckets", type=int, default=32)
+    bo.add_argument("--merge-dialect", choices=["row", "column", "cell"],
+                    default="row")
+    bo.add_argument("--distribution", choices=["cluster", "fanout"],
+                    default="cluster",
+                    help="cluster: one shuffle, one file per bucket; "
+                         "fanout: zero shuffle, tasks fan out per bucket")
+    bo.add_argument("--verify-unique", action="store_true",
+                    help="assert the snapshot has no duplicate keys "
+                         "(one extra counting scan)")
+    bo.add_argument("--local-cores", type=int, default=0)
+
     tl = sub.add_parser(
         "tail", help="incremental directory tail: ingest only new/changed "
                      "event files since the last committed run")
@@ -712,7 +771,8 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--local-cores", type=int, default=0)
 
     args = p.parse_args(argv)
-    return {"ingest": cmd_ingest, "tail": cmd_tail, "pull": cmd_pull,
+    return {"ingest": cmd_ingest, "bootstrap": cmd_bootstrap,
+            "tail": cmd_tail, "pull": cmd_pull,
             "status": cmd_status, "metrics": cmd_metrics,
             "compact": cmd_compact,
             "vacuum": cmd_vacuum, "dedup": cmd_dedup,

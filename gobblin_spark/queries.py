@@ -148,6 +148,76 @@ def q_cdc_patch_cell_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-snapshot bootstrap + incremental handoff (≙ the reference's
+    SNAPSHOT_ONLY full dump before APPEND watermark pulls; Debezium initial
+    snapshot → binlog handoff): the LWW-resolved state at W is loaded as
+    ONE bucketed write at __seq=W through the REAL bootstrap path, then
+    only seq > W is merged — and the result must equal a full replay of
+    all history (the handoff algebra under test: nothing the snapshot
+    reflects can beat it, anything later must)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from gobblin_spark.bootstrap import bootstrap_snapshot
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import lww_reduce, merge_lww, read_current
+
+    ev = load(spark, sf_dir, "events")
+    stream = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    w1 = stream.agg(F.floor(F.max("seq") / 2).cast("long")).first()[0]
+    snapshot = (
+        lww_reduce(stream.filter(F.col("seq") <= w1), ["user_id"], "seq")
+        .filter(F.col("op") != "D")
+        .select("user_id", "event_type", "value")
+    )
+    payload = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    d = tempfile.mkdtemp(prefix="gs_bootstrap_")
+    try:
+        bootstrap_snapshot(
+            spark, snapshot, f"{d}/table", f"{d}/state",
+            watermark=int(w1), groups=[0], n_buckets=8,
+            keys=["user_id"], schema=payload,
+        )
+        t = LakeTable(spark, f"{d}/table")
+        merge_lww(t, stream.filter(F.col("seq") > w1), ["user_id"])
+        out = (
+            read_current(t)
+            .select("user_id", "event_type",
+                    F.round("value", 6).alias("value"))
+            .orderBy("user_id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_CDC_BOOTSTRAP = """
+WITH ranked AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+  FROM events)
+SELECT user_id, event_type, round(value, 6) AS value
+FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id
+"""
+
+
 def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental changelog read (table_changes): apply the events stream
     to a REAL LakeTable in two watermark-bounded merge batches, then diff
@@ -1728,6 +1798,7 @@ QUERIES = {
     "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_patch_final_state": q_cdc_patch_final_state,
     "cdc_patch_cell_final_state": q_cdc_patch_cell_final_state,
+    "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
     "cdc_point_lookup": q_cdc_point_lookup,
     "events_asof_join": q_events_asof_join,
     "cdc_changelog": q_cdc_changelog,
@@ -1777,6 +1848,9 @@ def oracle_sqls() -> dict[str, str]:
         # same final state as the monotone full replay — that equality under
         # an out-of-order incremental fold IS the property under test
         "cdc_patch_cell_final_state": SQL_CDC_PATCH,
+        # full-replay equality under snapshot-at-W + suffix-only merge IS
+        # the handoff property under test
+        "cdc_bootstrap_handoff": SQL_CDC_BOOTSTRAP,
         "cdc_point_lookup": SQL_CDC_POINT_LOOKUP,
         "events_asof_join": SQL_ASOF_JOIN,
         "cdc_changelog": SQL_CDC_CHANGELOG,
