@@ -158,7 +158,8 @@ def bootstrap_snapshot(
         )
         stored = batch_to_stored(ev, payload, "seq", "op", merge_dialect)
         files = table.write_data_files(stored, seq_col=SEQ_COL,
-                                       distribution=distribution)
+                                       distribution=distribution,
+                                       sort_cols=list(keys))
         rows_loaded = sum(f.rows for f in files)
         snap = table.commit(
             keep_files=snap.files,

@@ -562,7 +562,11 @@ def compact(
     if gc_horizon_seq is not None:
         final = final.filter(
             ~(F.col(DELETED_COL) & (F.col(SEQ_COL) <= gc_horizon_seq)))
-    new_files = table.write_data_files(final, seq_col=SEQ_COL)
+    # compaction is the write that pays for read layout: key-sorted files
+    # give narrow parquet row-group stats, so point lookups skip row groups
+    # in-file on top of the manifest-level bucket + key_bounds skipping
+    new_files = table.write_data_files(final, seq_col=SEQ_COL,
+                                       sort_cols=list(snap.merge_keys))
     props = dict(properties or {})
     if gc_horizon_seq is not None:
         props["gc_horizon_seq"] = gc_horizon_seq
@@ -613,7 +617,11 @@ def point_lookup(
     one = table.spark.createDataFrame(
         [tuple(key[k] for k in snap.bucket_cols)], list(snap.bucket_cols))
     bucket = next(iter(table.buckets_of(one)))
-    df = table.read(version, buckets={bucket})
+    # two-level skipping: the key's hash bucket, then key_bounds — within
+    # the bucket, MOR delta files each hold only their batch's keys, so
+    # most are excluded by their recorded per-column bounds without a read
+    df = table.read(version, buckets={bucket},
+                    key_eq={k: key[k] for k in snap.key_cols if k in key})
     for k in snap.bucket_cols:
         df = df.filter(F.col(k) == F.lit(key[k]))
     df = stored_reduce(snap, df, snap.merge_keys)

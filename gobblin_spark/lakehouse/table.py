@@ -86,6 +86,13 @@ class DataFile:
     # Default True keeps legacy manifests valid (everything written before
     # raw-append deltas existed was reduced).
     reduced: bool = True
+    # Per-key-column [min, max] value bounds (string/numeric key columns
+    # only; None = unknown/legacy → never pruned on). A point lookup skips
+    # any file whose bounds exclude the probe key — within a bucket this
+    # prunes MOR delta files (each delta holds only its batch's keys, a
+    # narrow range) without reading them. ≙ Iceberg manifest-entry
+    # lower_bounds/upper_bounds data skipping.
+    key_bounds: dict[str, list] | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -99,6 +106,7 @@ class DataFile:
             "has_tombstones": self.has_tombstones,
             "partition": self.partition,
             "reduced": self.reduced,
+            "key_bounds": self.key_bounds,
         }
 
     @staticmethod
@@ -498,6 +506,7 @@ class LakeTable:
         partitions_per_bucket: int = 1,
         reduced: bool = True,
         distribution: str = "cluster",
+        sort_cols: list[str] | None = None,
     ) -> list[DataFile]:
         """Write df as new data files (NOT yet visible — commit separately).
 
@@ -541,17 +550,29 @@ class LakeTable:
             )
         elif distribution != "fanout":
             raise ValueError(f"unknown write distribution: {distribution}")
+        if sort_cols:
+            # key-clustered layout: rows sorted by merge key within each
+            # task → parquet row-group min/max stats become narrow ranges,
+            # so a point lookup's key-equality predicate skips most row
+            # groups INSIDE the file (the in-file complement of the
+            # manifest-level key_bounds skipping). One per-partition sort,
+            # no extra shuffle — used by compaction/bootstrap, never the
+            # per-batch hot apply path.
+            out = out.sortWithinPartitions(
+                *part_cols, *[F.col(c) for c in sort_cols])
         (
             out.write.partitionBy(*part_cols)
             .mode("overwrite")
             .parquet(out_dir)
         )
         return self._index_written_files(out_dir, write_id, sv, seq_col,
-                                         reduced=reduced)
+                                         reduced=reduced,
+                                         key_cols=snap.key_cols)
 
     def _index_written_files(
         self, out_dir: str, write_id: str, schema_version: int,
-        seq_col: str | None, reduced: bool = True
+        seq_col: str | None, reduced: bool = True,
+        key_cols: list[str] | None = None,
     ) -> list[DataFile]:
         """Build DataFile entries EXECUTOR-SIDE: one distributed,
         column-pruned scan over the freshly written files, grouped by the
@@ -561,9 +582,10 @@ class LakeTable:
         Why not driver-side parquet footer reads (the previous design): at
         10^5 files a compaction commit would serialize 10^5 footer fetches
         through the driver — on an object store that is 10^5 round trips in
-        the commit path. Here the stats job reads only (seq_col, __deleted)
-        — two thin columns of data the cluster just wrote (page-cache warm
-        locally, tiny range reads remotely) — and scales with executors.
+        the commit path. Here the stats job reads only (seq_col, __deleted,
+        key cols) — thin columns of data the cluster just wrote (page-cache
+        warm locally, tiny range reads remotely) — and scales with
+        executors.
         Bucket/partition come from the file PATH (regexp on
         _metadata.file_path), never from partition-column type inference,
         so partition values like '2024-01-05' stay verbatim strings."""
@@ -602,6 +624,19 @@ class LakeTable:
         else:
             aggs.append(
                 F.lit(None).cast("boolean").alias("__tombstones"))
+        # per-key-column value bounds for manifest-level data skipping —
+        # same stats pass, two thin extra columns per key col. Only
+        # JSON-faithful types (string / integral / float): a type that
+        # round-trips lossily through the manifest could prune wrongly.
+        bound_cols = [
+            kc for kc in (key_cols or [])
+            if kc in data_cols and df.schema[kc].dataType.simpleString()
+            in ("string", "int", "bigint", "smallint", "tinyint",
+                "double", "float")
+        ]
+        for kc in bound_cols:
+            aggs += [F.min(kc).alias(f"__kmin_{kc}"),
+                     F.max(kc).alias(f"__kmax_{kc}")]
         stats = df.groupBy(*keys).agg(*aggs).collect()
 
         out: list[DataFile] = []
@@ -623,6 +658,11 @@ class LakeTable:
                                 else bool(r["__tombstones"])),
                 partition=r["__fpart"] or None,
                 reduced=reduced,
+                key_bounds=({
+                    kc: [r[f"__kmin_{kc}"], r[f"__kmax_{kc}"]]
+                    for kc in bound_cols
+                    if r[f"__kmin_{kc}"] is not None
+                } or None) if bound_cols else None,
             ))
         return out
 
@@ -708,6 +748,7 @@ class LakeTable:
         seq_range: tuple[int, int] | None = None,
         partition_range: tuple[str, str] | None = None,
         partitions: set[str] | None = None,
+        key_eq: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, with file-level pruning.
 
@@ -719,6 +760,9 @@ class LakeTable:
           target (≙ reading one day/hour of a TimePartitionedDataPublisher
           layout without listing the rest).
         partitions: explicit partition-value set.
+        key_eq: column → probe value; skip files whose recorded key_bounds
+          exclude the value (files without bounds are kept — skipping is
+          only ever a sound superset).
         """
         snap = self.snapshot(version)
         files = snap.files
@@ -739,6 +783,16 @@ class LakeTable:
             ]
         if partitions is not None:
             files = [f for f in files if f.partition in partitions]
+        if key_eq:
+            def may_contain(f: DataFile) -> bool:
+                if not f.key_bounds:
+                    return True
+                for c, v in key_eq.items():
+                    b = f.key_bounds.get(c)
+                    if b is not None and not (b[0] <= v <= b[1]):
+                        return False
+                return True
+            files = [f for f in files if may_contain(f)]
         return self.read_file_set(files, snap)
 
     def read_file_set(

@@ -367,3 +367,92 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_table_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         point_lookup(t, {"repo": "only_half_the_key"})
+
+
+def test_key_bounds_skip_mor_delta_files(spark, tmp_table_dir):
+    """Manifest-level key_bounds data skipping (≙ Iceberg manifest-entry
+    lower/upper bounds): every written file records per-key-column min/max
+    in the same executor-side stats pass; a point lookup then skips, inside
+    the key's bucket, every MOR delta file whose bounds exclude the probe
+    key — strictly fewer files read than bucket pruning alone, with the
+    identical result. Also pins soundness: bounds actually contain every
+    key in the file, and a legacy file without bounds is never pruned."""
+    from gobblin_spark.lakehouse.merge import merge_lww_mor, point_lookup
+
+    ev = make_events(spark, 3000)
+    t = new_table(spark, tmp_table_dir + "/t")
+    d = data_events(ev)
+    # 6 narrow delta batches: each holds a disjoint slice of repos, so each
+    # delta file's repo bounds cover only its slice
+    for i in range(6):
+        batch = d.filter(F.pmod(F.xxhash64("repo"), F.lit(6)) == i)
+        merge_lww_mor(t, batch, KEYS, seq_col="seq")
+
+    snap = t.snapshot()
+    bounded = [f for f in snap.files if f.key_bounds]
+    assert bounded, "writes must record key_bounds"
+    # soundness: recorded bounds contain every key actually in the file
+    probe = bounded[0]
+    rows = spark.read.parquet(t.root + "/" + probe.path).select(*KEYS).collect()
+    for r in rows:
+        for c in KEYS:
+            lo, hi = probe.key_bounds[c]
+            assert lo <= r[c] <= hi
+
+    want = {(r["repo"], r["path"]): r["commit"]
+            for r in read_current(t).collect()}
+    live_key = next(iter(sorted(want)))
+
+    counts = []
+    orig = LakeTable.read_file_set
+
+    def spy(self, files, snap=None):
+        counts.append(len(files))
+        return orig(self, files, snap)
+
+    LakeTable.read_file_set = spy
+    try:
+        got = point_lookup(t, {"repo": live_key[0], "path": live_key[1]})
+        assert got.collect()[0]["commit"] == want[live_key]
+    finally:
+        LakeTable.read_file_set = orig
+
+    one = spark.createDataFrame([live_key], KEYS)
+    bucket = next(iter(t.buckets_of(one)))
+    bucket_files = [f for f in snap.files if f.bucket == bucket]
+    # the probe repo lives in exactly one of the 6 delta slices: bounds
+    # must have excluded most of the bucket's delta files
+    assert counts[-1] < len(bucket_files), (counts, len(bucket_files))
+
+    # legacy manifest entries (no bounds) are never pruned: strip bounds
+    # and the lookup still returns the same row over MORE files
+    for f in snap.files:
+        f.key_bounds = None
+    counts.clear()
+    LakeTable.read_file_set = spy
+    try:
+        got = point_lookup(t, {"repo": live_key[0], "path": live_key[1]})
+        assert got.collect()[0]["commit"] == want[live_key]
+    finally:
+        LakeTable.read_file_set = orig
+    assert counts[-1] == len(bucket_files)
+
+
+def test_compaction_sorts_by_key_and_keeps_bounds(spark, tmp_table_dir):
+    """Compaction writes key-sorted files (narrow parquet row-group stats)
+    and the rewritten base files carry key_bounds; results unchanged."""
+    from gobblin_spark.lakehouse.merge import compact, merge_lww_mor
+
+    ev = make_events(spark, 2000)
+    t = new_table(spark, tmp_table_dir + "/t")
+    merge_lww_mor(t, data_events(ev), KEYS, seq_col="seq")
+    compact(t)
+
+    snap = t.snapshot()
+    assert all(f.key_bounds for f in snap.files)
+    # rows inside each compacted file are sorted by (repo, path)
+    f0 = max(snap.files, key=lambda f: f.rows)
+    rows = [(r["repo"], r["path"]) for r in
+            spark.read.parquet(t.root + "/" + f0.path).select(*KEYS).collect()]
+    assert rows == sorted(rows)
+    assert_matches_oracle(read_current(t), data_events(ev))
