@@ -175,35 +175,43 @@ def generate_change_events(
 
     # seq = dense global delivery rank (ties broken by id for determinism).
     # Scalable two-phase rank instead of a single-partition global window:
-    # range-repartition by the sort key (partitions hold ordered, disjoint
-    # key ranges), rank locally, then add cumulative partition offsets —
-    # O(P) driver metadata, every downstream expression stays parallel.
+    # bucket by a VALUE-derived range key (floor(pos/chunk) — pos ≈ id, so
+    # buckets are balanced), rank locally per bucket, then add cumulative
+    # bucket offsets — O(P) driver metadata, every downstream expression
+    # stays parallel. The bucket MUST be a pure function of the row, never
+    # spark_partition_id() over repartitionByRange: range boundaries come
+    # from SAMPLING, which is not stable across recomputes of a lazy plan
+    # (observed: a warm session re-sampled different boundaries, so the
+    # collected offsets map disagreed with later recomputes and seq
+    # assignment silently shifted).
     n_part = max(spark.sparkContext.defaultParallelism, n_groups)
+    chunk = float(max(1, n_updates // n_part))
     persisted = (
-        df.repartitionByRange(n_part, "pos", "id")
-        .withColumn("__pid", F.spark_partition_id())
+        df.withColumn(
+            "__b", F.floor(F.col("pos") / F.lit(chunk)).cast("long"))
         .persist()
     )
-    w_local = Window.partitionBy("__pid").orderBy("pos", "id")
+    w_local = Window.partitionBy("__b").orderBy("pos", "id")
     df = persisted.withColumn(
         "__lrank", F.row_number().over(w_local).cast("long")
     )
     counts = {
-        r["__pid"]: r["cnt"]
-        for r in df.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        r["__b"]: r["cnt"]
+        for r in persisted.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
     offset_col = F.element_at(
         F.create_map(
-            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+            *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]
         ),
-        F.col("__pid"),
+        F.col("__b"),
     ).cast("long")
     df = df.withColumn("seq", offset_col + F.col("__lrank") - 1).drop(
-        "__pid", "__lrank"
+        "__b", "__lrank"
     )
 
     del_cut = int(delete_frac * (1 << 31))
@@ -277,11 +285,11 @@ def generate_change_events(
             schema=nullable_schema,
         )
         events = events.unionByName(markers)
-    # Release the rank-stage cache: the per-partition offsets are already
-    # collected and everything downstream is deterministic, so a later
-    # recompute of the returned (lazy) plan yields identical rows. Callers
-    # materialize the fixture to parquet once anyway; without this the
-    # intermediate leaked executor storage to library users.
+    # Release the rank-stage cache: the bucket offsets were collected from
+    # a pure function of the rows (not physical partitioning), so a later
+    # recompute of the returned (lazy) plan yields identical rows — the
+    # cache only saves the double pass during generation. Callers still
+    # materialize the fixture to parquet before timing anything.
     persisted.unpersist()
     return events
 
