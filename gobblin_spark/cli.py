@@ -72,6 +72,7 @@ def cmd_ingest(args) -> int:
         merge_mode=args.merge_mode,
         merge_dialect=args.merge_dialect,
         compact_every=args.compact_every,
+        log_keep_last=args.log_keep_last or None,
     )
     t0 = time.time()
     results = eng.run_until_caught_up(max_batches=args.max_batches)
@@ -568,6 +569,11 @@ def main(argv: list[str] | None = None) -> int:
                           "mor: append deltas, compact periodically")
     ing.add_argument("--compact-every", type=int, default=8,
                      help="mor: compact after this many batches")
+    ing.add_argument("--log-keep-last", type=int, default=64,
+                     help="commit-log retention: fold older commits into a "
+                          "rollup (watermarks merged, metrics summed) so "
+                          "planning stays O(keep_last) on long streams; "
+                          "0 = never fold")
     ing.add_argument("--shard", default=None, metavar="K/S",
                      help="this consumer owns event groups with "
                           "pmod(event_group, S) = K; run S ingest jobs "

@@ -191,6 +191,7 @@ class CdcEngine:
         plan_partitioning: bool = True,
         limiter=None,
         delta_distribution: str = "cluster",
+        log_keep_last: int | None = 64,
         fs=None,
     ):
         """merge_mode: 'cow' rewrites affected buckets per batch (zero read
@@ -238,6 +239,9 @@ class CdcEngine:
         assert merge_dialect in ("row", "column", "cell")
         assert delta_distribution in ("cluster", "fanout")
         self.delta_distribution = delta_distribution
+        # commit-log retention: fold history into a rollup so planning cost
+        # stays O(log_keep_last) however long the stream runs (None = never)
+        self.log_keep_last = log_keep_last
         # Compaction triggers (MOR), OR'd — ≙ MRCompactor.java:147-157,
         # which recompacts a partition when late-records/total exceeds a
         # threshold rather than on a fixed schedule:
@@ -509,6 +513,8 @@ class CdcEngine:
         )
         if self.planner.limiter is not None:
             self.planner.limiter.consume(rows_read)
+        if self.log_keep_last:
+            self.store.maybe_checkpoint_log(self.log_keep_last)
         mark("commit", tp)
         return BatchResult(
             batch_id=batch_id,

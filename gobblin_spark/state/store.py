@@ -111,9 +111,31 @@ class StateStore:
     def _log_path(self, batch_id: str) -> str:
         return os.path.join(self.log_dir, f"commit-{batch_id}.json")
 
+    def _rollup_names(self) -> list[str]:
+        return sorted(
+            n for n in self.fs.listdir(self.log_dir)
+            if n.startswith("rollup-") and n.endswith(".json")
+        )
+
+    def latest_rollup(self) -> dict[str, Any] | None:
+        """Highest-seq commit-log rollup (see checkpoint_log). Cached:
+        rollups are written only by this (single-writer) pipeline, and
+        checkpoint_log refreshes the cache after publishing a new one."""
+        if getattr(self, "_rollup_cache", None) is not None:
+            return self._rollup_cache or None
+        names = self._rollup_names()
+        self._rollup_cache = (
+            json.loads(self.fs.read(os.path.join(self.log_dir, names[-1])))
+            if names else {}
+        ) or False
+        return self._rollup_cache or None
+
     def is_committed(self, batch_id: str) -> bool:
         """The verify() step: has this batch already been applied+committed?"""
-        return self.fs.exists(self._log_path(batch_id))
+        if self.fs.exists(self._log_path(batch_id)):
+            return True
+        roll = self.latest_rollup()
+        return bool(roll and batch_id in roll.get("folded_batch_ids", []))
 
     def commit_batch(
         self,
@@ -166,12 +188,122 @@ class StateStore:
         return json.loads(self.fs.read(p))
 
     def committed_batches(self) -> list[dict[str, Any]]:
-        out = []
+        """All committed history: the latest rollup (if any) as one
+        aggregate record, then the live (un-folded) commit files. A commit
+        file whose id the rollup already folded is skipped — reachable only
+        if a checkpoint crashed mid-cleanup, in which case counting it
+        twice would double its metrics."""
+        roll = self.latest_rollup()
+        folded = set(roll.get("folded_batch_ids", [])) if roll else set()
+        out = [roll] if roll else []
         for name in sorted(self.fs.listdir(self.log_dir)):
             if name.startswith("commit-") and name.endswith(".json"):
-                out.append(json.loads(
-                    self.fs.read(os.path.join(self.log_dir, name))))
+                doc = json.loads(
+                    self.fs.read(os.path.join(self.log_dir, name)))
+                if doc["batch_id"] not in folded:
+                    out.append(doc)
         return out
+
+    def checkpoint_log(self, keep_last: int = 16) -> dict[str, Any] | None:
+        """Fold all but the newest ``keep_last`` commit records (plus any
+        prior rollup) into ONE rollup record holding the merged per-group
+        watermarks, summed metrics, and the folded batch-id set.
+
+        Why: every ``plan_batch`` reads the full commit log to derive
+        watermarks — append-only forever means batch B pays O(B) metadata
+        reads, O(B²) over a run (a 10^10-event stream at 50M-row batches is
+        only ~200 commits, but a long-lived tail at minutes-per-batch is
+        unbounded). After a checkpoint the log is O(keep_last) regardless
+        of stream age. ≙ the reference's bounded job-history store
+        (FsDatasetStateStore retention), done as a fold so NOTHING the
+        planner or replay needs is lost: watermarks merge by max, folded
+        ids still answer ``is_committed``, and the recent window keeps full
+        lineage for the density/cost estimators (which only ever read the
+        last few batches).
+
+        Crash-safe: the new rollup (seq N+1, superset of rollup N) is
+        published before any old file is removed; readers use only the
+        highest-seq rollup and skip commit files it already folded, so a
+        crash mid-cleanup double-counts nothing. Leftovers are removed by
+        the next checkpoint."""
+        roll = self.latest_rollup()
+        prior_folded = set(roll.get("folded_batch_ids", [])) if roll else set()
+        names = sorted(
+            n for n in self.fs.listdir(self.log_dir)
+            if n.startswith("commit-") and n.endswith(".json")
+        )
+        docs = []
+        for n in names:
+            d = json.loads(self.fs.read(os.path.join(self.log_dir, n)))
+            if d["batch_id"] not in prior_folded:
+                docs.append((n, d))
+        docs.sort(key=lambda nd: nd[1].get("committed_ms", 0))
+        if len(docs) <= keep_last:
+            return None
+        fold = docs[:-keep_last]
+
+        wm: dict[str, int] = dict(roll.get("watermarks", {})) if roll else {}
+        for _, c in fold:
+            for g, hi in c.get("watermarks", {}).items():
+                if hi is not None:
+                    wm[g] = max(wm.get(g, -1), int(hi))
+        m_keys = ("rows_read", "rows_merged", "wall_ms")
+        sums = {k: (roll or {}).get("metrics", {}).get(k, 0) for k in m_keys}
+        for _, c in fold:
+            for k in m_keys:
+                sums[k] += c.get("metrics", {}).get(k, 0) or 0
+        sv = [c.get("snapshot_version") for _, c in fold
+              if c.get("snapshot_version") is not None]
+        if roll and roll.get("snapshot_version") is not None:
+            sv.append(roll["snapshot_version"])
+        new = {
+            "batch_id": "_rollup",
+            "kind": "rollup",
+            "rollup_seq": (roll.get("rollup_seq", 0) + 1) if roll else 1,
+            "committed_ms": max(
+                [c.get("committed_ms", 0) for _, c in fold]
+                + ([roll.get("committed_ms", 0)] if roll else [])),
+            "snapshot_version": max(sv) if sv else None,
+            "watermarks": wm,
+            "folded_batch_ids": sorted(
+                prior_folded | {c["batch_id"] for _, c in fold}),
+            "metrics": sums,
+            "lineage": [],
+        }
+        new["folded_count"] = len(new["folded_batch_ids"])
+        self.fs.publish_if_absent(
+            json.dumps(new).encode(),
+            os.path.join(self.log_dir,
+                         f"rollup-{new['rollup_seq']:08d}.json"))
+        self._rollup_cache = new
+        # cleanup AFTER publish: every commit file the rollup now covers
+        # (including leftovers from a previously crashed cleanup — the file
+        # name embeds the batch_id, no read needed), their lifecycle
+        # checkpoints, and superseded rollups
+        folded_all = set(new["folded_batch_ids"])
+        for n in names:
+            bid = n[len("commit-"):-len(".json")]
+            if bid in folded_all:
+                self.fs.remove(os.path.join(self.log_dir, n))
+                p = self._ckpt_path(bid)
+                if self.fs.exists(p):
+                    self.fs.remove(p)
+        for n in self._rollup_names():
+            if n != f"rollup-{new['rollup_seq']:08d}.json":
+                self.fs.remove(os.path.join(self.log_dir, n))
+        return new
+
+    def maybe_checkpoint_log(self, keep_last: int = 64) -> dict[str, Any] | None:
+        """Checkpoint when the live log has grown past 2×keep_last — the
+        amortized trigger the engine calls after each commit (one name
+        listing per batch; the O(n) fold runs every ~keep_last batches)."""
+        live = sum(
+            1 for n in self.fs.listdir(self.log_dir)
+            if n.startswith("commit-") and n.endswith(".json")
+        )
+        if live > 2 * keep_last:
+            return self.checkpoint_log(keep_last)
+        return None
 
     # ------------------------------------------------------------ watermarks
     def last_committed_watermarks(self) -> dict[int, int]:

@@ -351,3 +351,127 @@ def test_density_adaptive_window_for_sharded_consumer(spark, tmp_table_dir):
     wm = eng.store.last_committed_watermarks()
     smax = stored.agg(F2.max("seq")).first()[0]
     assert max(wm.values()) == smax
+
+
+def test_commit_log_checkpoint_fold(tmp_table_dir):
+    """checkpoint_log folds old commits into one rollup: watermarks merge
+    by max, folded ids still answer is_committed, metrics sum, the recent
+    window keeps full lineage, and a second fold composes with the first
+    (rollup N+1 is a superset of rollup N). ≙ a bounded job-history store:
+    planning cost stays O(keep_last) however long the stream runs."""
+    st = StateStore(tmp_table_dir)
+    for i in range(10):
+        u = [WorkUnitState(f"w{i}", f"b{i}", g, i * 100, (i + 1) * 100,
+                           rows_read=10, wall_ms=5) for g in (0, 1)]
+        st.begin_batch(f"b{i}", u)
+        st.commit_batch(f"b{i}", u, snapshot_version=i + 2,
+                        metrics={"rows_read": 20, "rows_merged": 20,
+                                 "wall_ms": 7})
+    wm_before = st.last_committed_watermarks()
+    dens_before = st.observed_seq_density()
+
+    roll = st.checkpoint_log(keep_last=4)
+    assert roll is not None and roll["folded_count"] == 6
+    # one rollup + 4 live commits on disk and in the view
+    batches = st.committed_batches()
+    assert len(batches) == 5
+    assert batches[0]["kind"] == "rollup"
+    assert st.last_committed_watermarks() == wm_before
+    for i in range(6):
+        assert st.is_committed(f"b{i}")  # folded but still answered
+        assert st.read_batch(f"b{i}") is None  # lifecycle ckpt cleaned
+    assert st.pending_batches() == []
+    # estimators keep working off the recent live window
+    assert st.observed_seq_density() == dens_before
+    assert st.group_cost_stats()[0]["avg_ms_per_record"] > 0
+    # folded metrics summed into the rollup
+    assert roll["metrics"]["rows_read"] == 6 * 20
+
+    # second fold composes: 4 live + 4 new, keep 2
+    for i in range(10, 14):
+        u = [WorkUnitState(f"w{i}", f"b{i}", g, i * 100, (i + 1) * 100,
+                           rows_read=10, wall_ms=5) for g in (0, 1)]
+        st.begin_batch(f"b{i}", u)
+        st.commit_batch(f"b{i}", u, snapshot_version=i + 2,
+                        metrics={"rows_read": 20, "rows_merged": 20,
+                                 "wall_ms": 7})
+    roll2 = st.checkpoint_log(keep_last=2)
+    assert roll2["rollup_seq"] == 2
+    assert roll2["folded_count"] == 12
+    assert roll2["metrics"]["rows_read"] == 12 * 20
+    assert st.last_committed_watermarks() == {0: 1400, 1: 1400}
+    # a fresh store instance (new process) sees the same folded view
+    st2 = StateStore(tmp_table_dir)
+    assert st2.is_committed("b0") and st2.is_committed("b11")
+    assert len(st2.committed_batches()) == 3
+
+
+def test_commit_log_checkpoint_crash_mid_cleanup(tmp_table_dir):
+    """Crash after the rollup publishes but before old files are removed:
+    nothing double-counts (readers skip folded commit files) and the next
+    checkpoint finishes the cleanup."""
+    st = StateStore(tmp_table_dir)
+    for i in range(8):
+        u = [WorkUnitState(f"w{i}", f"b{i}", 0, i * 100, (i + 1) * 100,
+                           rows_read=10, wall_ms=5)]
+        st.begin_batch(f"b{i}", u)
+        st.commit_batch(f"b{i}", u, snapshot_version=i + 2,
+                        metrics={"rows_read": 10, "rows_merged": 10,
+                                 "wall_ms": 5})
+
+    real_remove = st.fs.remove
+    st.fs.remove = lambda p: (_ for _ in ()).throw(
+        OSError("injected crash during cleanup"))
+    import pytest as _pytest
+    with _pytest.raises(OSError, match="injected"):
+        st.checkpoint_log(keep_last=3)
+    st.fs.remove = real_remove
+
+    # rollup is live, old commit files still on disk — but not re-counted
+    st2 = StateStore(tmp_table_dir)
+    batches = st2.committed_batches()
+    assert sum(1 for b in batches if b.get("kind") == "rollup") == 1
+    ids = [b["batch_id"] for b in batches]
+    assert len(ids) == len(set(ids)) == 4  # rollup + 3 live, no dupes
+    assert st2.last_committed_watermarks() == {0: 800}
+    total = sum(b["metrics"]["rows_read"] for b in batches)
+    assert total == 80  # 5 folded (50) + 3 live (30), no double count
+
+    # the next checkpoint removes the leftovers
+    st2.checkpoint_log(keep_last=2)
+    live = [n for n in st2.fs.listdir(st2.log_dir) if n.startswith("commit-")]
+    assert len(live) == 2
+
+
+def test_engine_auto_checkpoint_keeps_replay_exact(spark, tmp_table_dir):
+    """End-to-end: an engine run with aggressive log folding must leave the
+    same table state AND the same nothing-to-do restart behavior as the
+    append-only log (watermarks survive the fold)."""
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import read_current
+    from gobblin_spark.sources import generate_change_events
+    from tests.oracle import assert_matches_oracle
+
+    d = tmp_table_dir
+    generate_change_events(spark, 2500, n_repos=10, paths_per_repo=40,
+                           dup_frac=0.05, delete_frac=0.05,
+                           ooo_window=100).write.parquet(d + "/events")
+    ev = spark.read.parquet(d + "/events")
+    eng = CdcEngine(spark, ev, d + "/t", d + "/s",
+                    max_records_per_batch=300, n_buckets=8,
+                    log_keep_last=2)
+    eng.run_until_caught_up()
+    st = StateStore(d + "/s")
+    live = [n for n in st.fs.listdir(st.log_dir) if n.startswith("commit-")]
+    assert st.latest_rollup() is not None, "fold must have triggered"
+    assert len(live) <= 5
+    assert_matches_oracle(
+        read_current(LakeTable(spark, d + "/t")),
+        ev.filter(F.col("op").isin("I", "U", "D")))
+
+    # restart: watermarks come from the rollup — nothing to apply
+    eng2 = CdcEngine(spark, ev, d + "/t", d + "/s",
+                     max_records_per_batch=300, n_buckets=8,
+                     log_keep_last=2)
+    assert eng2.run_until_caught_up() == []
