@@ -89,6 +89,23 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_replay_errors(args) -> int:
+    """Dead-letter replay: re-merge quarantined err-file rows at their
+    ORIGINAL seq (LWW keeps newer data authoritative), skipping rows at or
+    below the table's tombstone-GC horizon (they could resurrect GC'd
+    deletes). Exactly-once per run_id via the commit log."""
+    from gobblin_spark.replay import replay_errors
+
+    spark = _get_session(args)
+    res = replay_errors(
+        spark, args.err, args.table, args.state,
+        run_ids=args.run_ids.split(",") if args.run_ids else None,
+        force=args.force,
+    )
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_bootstrap(args) -> int:
     """Initial full-snapshot load + CDC handoff (≙ the reference's
     SNAPSHOT_ONLY full dump before APPEND watermark pulls; Debezium
@@ -583,6 +600,20 @@ def main(argv: list[str] | None = None) -> int:
                      help="dev only: build a local[N] session instead of "
                           "using the spark-submit session")
 
+    rp = sub.add_parser(
+        "replay-errors",
+        help="re-merge quarantined err-file rows (DLQ replay) at their "
+             "original seq; GC-horizon-guarded, exactly-once per run_id")
+    rp.add_argument("--err", required=True,
+                    help="err quarantine root (run_id=<batch> partitions)")
+    rp.add_argument("--table", required=True)
+    rp.add_argument("--state", required=True)
+    rp.add_argument("--run-ids", default="",
+                    help="comma list; empty = every quarantined run")
+    rp.add_argument("--force", action="store_true",
+                    help="merge even rows that still fail current policies")
+    rp.add_argument("--local-cores", type=int, default=0)
+
     bo = sub.add_parser(
         "bootstrap",
         help="initial full-snapshot load, then ingest tails seq > watermark")
@@ -778,6 +809,7 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
     return {"ingest": cmd_ingest, "bootstrap": cmd_bootstrap,
+            "replay-errors": cmd_replay_errors,
             "tail": cmd_tail, "pull": cmd_pull,
             "status": cmd_status, "metrics": cmd_metrics,
             "compact": cmd_compact,
