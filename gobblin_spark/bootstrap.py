@@ -70,6 +70,7 @@ def bootstrap_snapshot(
     keys: Sequence[str] | None = None,
     schema=None,
     fs=None,
+    adopt_existing: bool = False,
 ) -> dict[str, Any]:
     """Load ``snapshot_df`` (the source table as of change position
     ``watermark``) into a fresh target table and commit per-group
@@ -84,6 +85,9 @@ def bootstrap_snapshot(
     registry schema v1); pass both to bootstrap any other keyed table
     (schema = payload fields WITHOUT the system columns, which are added
     per dialect).
+    adopt_existing: adopt a pre-existing table's files as the snapshot
+    image at ``watermark`` (commit only the handoff watermarks; no data
+    written). Without it, bootstrapping into a non-empty table raises.
     """
     registry = registry or default_registry()
     keys = list(keys) if keys else KEYS
@@ -135,6 +139,31 @@ def bootstrap_snapshot(
         table.snapshot(v).properties.get("bootstrap_id") == bid
         for v in table.versions()
     )
+    if not already_written and snap.files:
+        # A pre-existing table with data files but no record of THIS
+        # bootstrap means the files came from somewhere else (another
+        # bootstrap, direct writes, a retained table under a fresh state
+        # root). Loading the snapshot on top would duplicate live rows —
+        # a raw load is not self-resolving like a merge. adopt_existing
+        # declares the existing files ARE the snapshot at `watermark`:
+        # skip the data write, publish only the handoff watermarks.
+        if not adopt_existing:
+            raise BootstrapError(
+                f"table at {table_root} already holds {len(snap.files)} "
+                "data files with no record of this bootstrap — loading the "
+                "snapshot would duplicate live rows. Pass "
+                "adopt_existing=True to adopt the existing files as the "
+                "snapshot image at this watermark (no data written), or "
+                "bootstrap into a fresh table root.")
+        snap = table.commit(
+            keep_files=snap.files,
+            add_files=[],
+            properties={"bootstrap_id": bid, "batch_id": bid,
+                        "bootstrap_watermark": int(watermark),
+                        "bootstrap_adopted": True},
+            expected_version=snap.version,
+        )
+        already_written = True
     rows_loaded = 0
     if not already_written:
         payload = [f.name for f in snap.schema.fields
@@ -171,12 +200,19 @@ def bootstrap_snapshot(
     else:
         snap = table.snapshot()
 
+    # low_seq == high_seq == watermark: a ZERO-width lineage window. Resume
+    # semantics are identical (the watermark map records high_seq either
+    # way), but a (-1, W] window would (a) poison observed_seq_density with
+    # rows_read=0 over width W — the planner would widen its admission
+    # window by max_window_factor right after handoff — and (b) make the
+    # pending-batch crash-retry path replan the ENTIRE (-1, W] history if a
+    # crash lands between begin_batch and commit_batch.
     units = [
         WorkUnitState(
             workunit_id=f"{bid}-g{int(g)}",
             batch_id=bid,
             event_group=int(g),
-            low_seq=-1,
+            low_seq=int(watermark),
             high_seq=int(watermark),
             rows_read=0,
             rows_written=0,

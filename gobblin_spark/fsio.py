@@ -87,6 +87,15 @@ class CommitFs:
     def remove(self, path: str) -> None:
         raise NotImplementedError
 
+    def remove_tree(self, root: str) -> None:
+        """Delete every file under ``root`` (recursive) and, where the
+        store has directories, the directories themselves — after this,
+        ``exists(root)`` is False. Object stores: a keyed DELETE per
+        object under the prefix (what s3a's delete(path, recursive) is).
+        NOT atomic anywhere — callers must tolerate a crash mid-delete
+        leaving an arbitrary subset."""
+        raise NotImplementedError
+
     def makedirs(self, path: str) -> None:
         raise NotImplementedError
 
@@ -139,6 +148,9 @@ class LocalFs(CommitFs):
 
     def remove(self, path: str) -> None:
         os.unlink(path)
+
+    def remove_tree(self, root: str) -> None:
+        shutil.rmtree(root, ignore_errors=True)
 
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -226,6 +238,16 @@ class ObjectStoreFs(CommitFs):
 
     def remove(self, path: str) -> None:
         os.unlink(path)
+
+    def remove_tree(self, root: str) -> None:
+        # a DELETE per key under the prefix — the only bulk delete an
+        # object store has (s3a delete(path, recursive=true) fans out the
+        # same way). The trailing rmtree only clears the now-empty local
+        # backing directories so exists(prefix) correctly flips to False,
+        # as it would on a real store once the last key is gone.
+        for p in list(self.walk_files(root)):
+            os.unlink(p)
+        shutil.rmtree(root, ignore_errors=True)
 
     def makedirs(self, path: str) -> None:
         # no-op semantically (no directories); materialize locally so the

@@ -621,7 +621,7 @@ def point_lookup(
     # the bucket, MOR delta files each hold only their batch's keys, so
     # most are excluded by their recorded per-column bounds without a read
     df = table.read(version, buckets={bucket},
-                    key_eq={k: key[k] for k in snap.key_cols if k in key})
+                    key_eq={k: key[k] for k in snap.merge_keys if k in key})
     for k in snap.bucket_cols:
         df = df.filter(F.col(k) == F.lit(key[k]))
     df = stored_reduce(snap, df, snap.merge_keys)

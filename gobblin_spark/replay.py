@@ -31,12 +31,28 @@ log): the commit log is checked first (rerun after success = no-op); the
 merge is idempotent under replay (LWW); the quarantine partition is
 rewritten to only the still-failed/blocked rows BEFORE the log publishes,
 so a crash at any point re-runs a smaller, converging replay.
+
+Quarantine rewrite protocol (all metadata I/O through CommitFs, so DLQ
+replay works on object stores too): the remainder is staged to a sibling
+prefix, then a SWAP MARKER (one atomic ``write_replace``) declares the
+staging authoritative, then the old partition keys are deleted and the
+staged keys promoted. The invariant every crash window preserves is
+*visible partition ⊇ still-quarantined rows* — a superset re-replays
+harmlessly (re-merging is LWW-idempotent, policy re-checks re-filter),
+while a subset would silently lose DLQ rows. Without the marker, a crash
+mid-delete of the old partition leaves exactly such a subset.
+
+Dialect restriction: tables with ``merge_dialect='column'`` are refused,
+mirroring streaming ingest — the stored-column fold keeps only each
+column's latest value attributed to the row-max seq, so replaying an
+out-of-order patch can resurrect deleted column state or lose a
+legitimate race. Migrate to the order-independent 'cell' dialect (per-cell
+write seqs) to replay patches.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Any
 
 import pyspark.sql.functions as F
@@ -61,6 +77,21 @@ def infer_registry_version(registry, cols: list[str]) -> int:
         f"err rows with columns {cols} match no registry version")
 
 
+_SWAP_PREFIX = "run_id="
+
+
+def _promote(fs, staging: str, part: str) -> None:
+    """Copy every staged key into the partition prefix (same relative
+    names, overwrite) — idempotent, so a crashed promotion just re-runs.
+    Quarantine partitions are small (err rows), so a read+put per key is
+    fine; on LocalFs this is still O(remainder), not O(table)."""
+    for src in list(fs.walk_files(staging)):
+        rel = os.path.relpath(src, staging)
+        dst = os.path.join(part, rel)
+        fs.makedirs(os.path.dirname(dst))
+        fs.write_replace(fs.read(src), dst)
+
+
 def replay_errors(
     spark: SparkSession,
     err_path: str,
@@ -71,24 +102,44 @@ def replay_errors(
     policies=None,
     run_ids: list[str] | None = None,
     force: bool = False,
+    fs=None,
 ) -> dict[str, Any]:
     """Re-merge quarantined rows for each ``run_id=<id>`` partition under
     ``err_path``. policies: the CURRENT row policies to re-check against
     (rows that still fail stay quarantined); force=True merges everything
     past the GC-horizon guard regardless of policies."""
     registry = registry or default_registry()
-    store = StateStore(state_root)
-    table = LakeTable(spark, table_root)
+    store = StateStore(state_root, fs=fs)
+    table = LakeTable(spark, table_root, fs=fs)
+    fs = store.fs
     snap = table.snapshot()
+    if snap.merge_dialect == "column":
+        raise NotImplementedError(
+            "merge_dialect='column' is not supported by DLQ replay: the "
+            "stored-column fold is only correct under seq-monotone "
+            "admission — a replayed pre-delete patch would resurrect "
+            "deleted column state (superseded tombstones are dropped by "
+            "the fold) and old-seq column writes would lose races to the "
+            "fold's row-max seq attribution. Replay the errors against a "
+            "table migrated to the order-independent 'cell' dialect, or "
+            "re-ingest them in seq order.")
     horizon = int(snap.properties.get("gc_horizon_seq", -1))
     target_v = int(snap.properties.get("registry_version", 1))
 
     if run_ids is None:
-        run_ids = sorted(
-            n.split("=", 1)[1] for n in os.listdir(err_path)
-            if n.startswith("run_id=")
-            and os.path.isdir(os.path.join(err_path, n))
-        )
+        # discover rids from BOTH live partitions and swap artifacts: a
+        # crash after the partition's keys were deleted but before the
+        # marker cleared leaves ONLY the marker (+ staging) behind — a
+        # partition-only listing would never revisit that rid and its
+        # staged remainder would be lost from discovery forever
+        found: set[str] = set()
+        for n in fs.listdir(err_path):
+            if n.startswith("run_id="):
+                found.add(n.split("=", 1)[1])
+            elif n.startswith("." + _SWAP_PREFIX):
+                found.add(n[len("." + _SWAP_PREFIX):]
+                          .rsplit(".__replay", 1)[0])
+        run_ids = sorted(found)
 
     out: dict[str, Any] = {"replayed": {}, "still_quarantined": {},
                            "blocked_below_gc_horizon": {}, "skipped": []}
@@ -98,12 +149,26 @@ def replay_errors(
             out["skipped"].append(rid)
             continue
         part = os.path.join(err_path, f"run_id={rid}")
-        staging = part + ".__replay_tmp"
-        if not os.path.isdir(part) and os.path.isdir(staging):
-            # crash between removing the partition and renaming the staged
-            # remainder in: finish the rename, then replay normally
-            os.replace(staging, part)
-        if not os.path.isdir(part):
+        # dot-prefixed siblings: hidden from Spark's directory listings
+        # (a reader of the whole err dir must never see half a swap) and
+        # from the partition-name discovery above
+        staging = os.path.join(err_path, f".{_SWAP_PREFIX}{rid}.__replay_tmp")
+        marker = os.path.join(err_path, f".{_SWAP_PREFIX}{rid}.__replay_swap")
+        if fs.exists(marker):
+            # a prior attempt staged the remainder and atomically declared
+            # it authoritative, then crashed somewhere in the swap — the
+            # partition may be an arbitrary subset. Finish the swap:
+            # re-promote the staged keys (idempotent overwrite; absent
+            # staging with marker 'staged' means promotion fully completed
+            # and only the marker removal crashed), then clear the marker.
+            if fs.read(marker) == b"staged":
+                if fs.exists(staging):
+                    _promote(fs, staging, part)
+                    fs.remove_tree(staging)
+            else:  # b"empty": everything landed; the partition must drain
+                fs.remove_tree(part)
+            fs.remove(marker)
+        if not fs.exists(part):
             # partition fully consumed by a prior attempt that crashed
             # before the log commit — the merge already landed (idempotent);
             # just record the commit so reruns stop here
@@ -159,17 +224,24 @@ def replay_errors(
                       properties={"batch_id": bid})
 
         # rewrite the quarantine partition down to what did NOT land —
-        # staged to a sibling dir BEFORE the original is removed, and all
-        # BEFORE the log commit, so a crash at any point re-runs a replay
-        # over a superset of the still-quarantined rows (converging)
+        # staged to a sibling prefix BEFORE the original is touched, made
+        # authoritative by ONE atomic marker write, and all BEFORE the log
+        # commit: every crash window leaves the visible partition a
+        # SUPERSET of the still-quarantined rows (converging — re-merge is
+        # LWW-idempotent), never a subset (which would lose DLQ rows)
         n_blocked = int(blocked.count())
         keep = failed.unionByName(blocked)
         n_keep = keep.count()
         if n_keep:
             keep.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(part, ignore_errors=True)
+        elif fs.exists(staging):
+            fs.remove_tree(staging)  # stale staging from a pre-marker crash
+        fs.write_replace(b"staged" if n_keep else b"empty", marker)
+        fs.remove_tree(part)
         if n_keep:
-            os.replace(staging, part)
+            _promote(fs, staging, part)
+            fs.remove_tree(staging)
+        fs.remove(marker)
 
         # Commit the log ONLY when the partition fully drained: idempotency
         # of a partial replay comes from the partition rewrite itself (a

@@ -198,3 +198,71 @@ def test_cli_bootstrap_then_ingest(spark, tmp_table_dir, capsys):
     got = read_current(LakeTable(spark, table)).select(
         "repo", "path", "commit", "lang", "content")
     assert_matches_oracle(got, ev)
+
+
+def test_bootstrap_refuses_nonempty_table_fresh_state(spark, tmp_table_dir):
+    """A pre-existing table with data files but no record of THIS
+    bootstrap (e.g. a retained table under a fresh state root): loading
+    the snapshot on top would duplicate every live row — raw loads are not
+    self-resolving like merge batches. Must refuse without adopt_existing;
+    with it, the existing files ARE the snapshot image (no data written,
+    no duplicates) and the tail from the fresh state root converges."""
+    ev, groups = _fixture(spark, tmp_table_dir, n=1500)
+    table = os.path.join(tmp_table_dir, "table")
+    W = 800
+    snapshot = expected_final_state(ev.filter(F.col("seq") <= W))
+    # the table pre-exists via DIRECT ingest (its files carry no
+    # bootstrap_id) — the retained-table-under-fresh-state-root shape
+    eng0 = CdcEngine(spark, ev.filter(F.col("seq") <= W), table,
+                     os.path.join(tmp_table_dir, "state1"),
+                     max_records_per_batch=1000, n_buckets=8)
+    eng0.run_until_caught_up()
+    n_live = read_current(LakeTable(spark, table)).count()
+    assert n_live == snapshot.count()
+
+    state2 = os.path.join(tmp_table_dir, "state2")
+    with pytest.raises(BootstrapError, match="adopt_existing"):
+        bootstrap_snapshot(spark, snapshot, table, state2,
+                           watermark=W, groups=groups, n_buckets=8)
+    assert read_current(LakeTable(spark, table)).count() == n_live
+
+    r2 = bootstrap_snapshot(spark, snapshot, table, state2, watermark=W,
+                            groups=groups, n_buckets=8, adopt_existing=True)
+    assert r2["rows_loaded"] == 0  # nothing written, files adopted
+    assert read_current(LakeTable(spark, table)).count() == n_live
+    # rerun under the same state root is the usual no-op
+    r3 = bootstrap_snapshot(spark, snapshot, table, state2, watermark=W,
+                            groups=groups, n_buckets=8, adopt_existing=True)
+    assert r3["already_bootstrapped"] and r3["rows_loaded"] == 0
+
+    eng = CdcEngine(spark, ev, table, state2,
+                    max_records_per_batch=1000, n_buckets=8)
+    eng.run_until_caught_up()
+    assert_matches_oracle(read_current(eng.table),
+                          ev.filter(F.col("op").isin("I", "U", "D")))
+
+
+def test_bootstrap_lineage_is_zero_width(spark, tmp_table_dir):
+    """Bootstrap lineage must record a ZERO-width window at the watermark
+    (low_seq == high_seq == W). A (-1, W] window with rows_read=0 would
+    (a) poison observed_seq_density → the planner widens admission by
+    max_window_factor right after handoff, and (b) make the pending-batch
+    crash path replan the entire history."""
+    ev, groups = _fixture(spark, tmp_table_dir, n=1200)
+    table = os.path.join(tmp_table_dir, "table")
+    state = os.path.join(tmp_table_dir, "state")
+    W = 600
+    snapshot = expected_final_state(ev.filter(F.col("seq") <= W))
+    bootstrap_snapshot(spark, snapshot, table, state, watermark=W,
+                       groups=groups, n_buckets=8)
+    store = StateStore(state)
+    commits = store.committed_batches()
+    assert len(commits) == 1
+    lineage = commits[0]["lineage"]
+    assert lineage, "handoff watermarks ride on lineage"
+    assert all(ln["low_seq"] == W and ln["high_seq"] == W
+               for ln in lineage)
+    # density estimator sees no width → no evidence, NOT an inflated window
+    assert store.observed_seq_density() is None
+    # resume semantics intact: every group's watermark is W
+    assert set(store.last_committed_watermarks().values()) == {W}

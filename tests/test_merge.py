@@ -456,3 +456,29 @@ def test_compaction_sorts_by_key_and_keeps_bounds(spark, tmp_table_dir):
             spark.read.parquet(t.root + "/" + f0.path).select(*KEYS).collect()]
     assert rows == sorted(rows)
     assert_matches_oracle(read_current(t), data_events(ev))
+
+
+def test_point_lookup_legacy_manifest_without_key_cols(
+        spark, tmp_table_dir, monkeypatch):
+    """Manifests written before key_cols existed deserialize with
+    key_cols=None; point_lookup must fall back to Snapshot.merge_keys
+    (→ bucket_cols) like every other read path — working without
+    key-bounds pruning, never raising."""
+    import dataclasses
+
+    from gobblin_spark.lakehouse.merge import point_lookup
+
+    ev = make_events(spark, 800)
+    t = new_table(spark, tmp_table_dir + "/t")
+    merge_lww(t, data_events(ev), KEYS)
+    want = {(r["repo"], r["path"]): r["commit"]
+            for r in read_current(t).collect()}
+    live_key = next(iter(sorted(want)))
+
+    legacy = dataclasses.replace(t.snapshot(), key_cols=None)
+    assert legacy.merge_keys == KEYS  # the documented fallback
+    monkeypatch.setattr(LakeTable, "snapshot",
+                        lambda self, v=None: legacy)
+    got = point_lookup(t, {"repo": live_key[0], "path": live_key[1]})
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["commit"] == want[live_key]

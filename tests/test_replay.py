@@ -161,3 +161,109 @@ def test_replay_cli(spark, tmp_table_dir, capsys):
     assert sum(out["replayed"].values()) > 0
     assert_matches_oracle(read_current(LakeTable(spark, d + "/t")),
                           _data(ev))
+
+
+def test_replay_refuses_column_dialect(spark, tmp_table_dir):
+    """merge_dialect='column' is only correct under seq-monotone admission
+    (the stored fold drops superseded tombstones and attributes row-max
+    seq to every surviving column) — replaying an old-seq patch against it
+    can resurrect deleted state. Replay must refuse, mirroring streaming
+    ingest, BEFORE touching any quarantine partition."""
+    import pytest
+
+    from gobblin_spark.engine import default_registry, target_schema_for
+
+    d = tmp_table_dir
+    LakeTable.create(
+        spark, d + "/t",
+        target_schema_for(default_registry(), 1, "column"),
+        ["repo", "path"], n_buckets=4,
+        properties={"merge_dialect": "column"}, key_cols=["repo", "path"])
+    os.makedirs(d + "/err")
+    with pytest.raises(NotImplementedError, match="cell"):
+        replay_errors(spark, d + "/err", d + "/t", d + "/s")
+
+
+def test_replay_objectstore_swap_crash_recovery(spark, tmp_table_dir,
+                                                monkeypatch):
+    """DLQ replay runs entirely through CommitFs (here ObjectStoreFs — no
+    rename, no directories) and its staged-swap protocol survives a crash
+    in the worst window: old partition keys already deleted, staged
+    remainder not yet promoted. Without the swap marker the rerun would
+    see a SUBSET partition and silently lose DLQ rows; with it the rerun
+    restores the remainder and converges."""
+    import gobblin_spark.replay as replay_mod
+    from gobblin_spark.fsio import ObjectStoreFs
+
+    d = tmp_table_dir
+    ev = _fixture(spark, d, n=1500)
+    eng = CdcEngine(spark, ev, d + "/t", d + "/s",
+                    max_records_per_batch=800, n_buckets=8,
+                    row_policies=[flaky()], err_path=d + "/err",
+                    fs=ObjectStoreFs())
+    eng.run_until_caught_up()
+
+    quarantined = spark.read.parquet(d + "/err")
+    n_q = quarantined.count()
+    assert n_q > 0
+    # relaxed policy: of the quarantined rows (xxhash64(commit)%2 == 1),
+    # those with hash%4 == 1 now pass, hash%4 == 3 still fail — both the
+    # merge and the staged remainder rewrite happen in one replay
+    relaxed = RowLevelPolicy(
+        "flaky_quarter",
+        F.col("commit").isNull()
+        | (F.pmod(F.xxhash64("commit"), F.lit(4)) == 1),
+        PolicyType.ERR_FILE,
+    )
+    n_still = quarantined.filter(
+        F.pmod(F.xxhash64("commit"), F.lit(4)) == 3).count()
+    assert 0 < n_still < n_q, "fixture must split pass/keep"
+
+    calls = {"n": 0}
+    real_promote = replay_mod._promote
+
+    def crash_once(fs, staging, part):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected crash before promotion")
+        return real_promote(fs, staging, part)
+
+    import pytest
+    monkeypatch.setattr(replay_mod, "_promote", crash_once)
+    with pytest.raises(RuntimeError, match="injected"):
+        replay_errors(spark, d + "/err", d + "/t", d + "/s",
+                      policies=[relaxed], fs=ObjectStoreFs())
+    monkeypatch.setattr(replay_mod, "_promote", real_promote)
+
+    # mid-crash state: at least one partition is gone but its marker +
+    # staging survive — the exact subset window the marker exists for
+    markers = [n for n in os.listdir(d + "/err")
+               if n.endswith(".__replay_swap")]
+    assert markers, "crash must land inside a swap"
+
+    # rerun with the same relaxed policy: recovery restores the staged
+    # remainder, replays idempotently, still-failing rows stay
+    res = replay_errors(spark, d + "/err", d + "/t", d + "/s",
+                        policies=[relaxed], fs=ObjectStoreFs())
+    left = [os.path.join(d + "/err", n) for n in os.listdir(d + "/err")
+            if n.startswith("run_id=")]
+    n_left = (spark.read.parquet(*left).count() if left else 0)
+    assert n_left == n_still, "no DLQ row lost or duplicated across the crash"
+    assert not [n for n in os.listdir(d + "/err")
+                if n.endswith(".__replay_swap") or
+                n.endswith(".__replay_tmp")]
+
+    # visible state == full replay MINUS the still-quarantined rows
+    still = (spark.read.parquet(*left).select("seq") if left
+             else quarantined.limit(0).select("seq"))
+    surviving = _data(ev).join(still, on="seq", how="left_anti")
+    assert_matches_oracle(read_current(
+        LakeTable(spark, d + "/t", fs=ObjectStoreFs())), surviving)
+
+    # dropping the policy drains the rest; rerun of recovered rids is a
+    # no-op (exactly-once across the crash)
+    res2 = replay_errors(spark, d + "/err", d + "/t", d + "/s",
+                         fs=ObjectStoreFs())
+    assert sum(res2["replayed"].values()) == n_still
+    assert_matches_oracle(read_current(
+        LakeTable(spark, d + "/t", fs=ObjectStoreFs())), _data(ev))
