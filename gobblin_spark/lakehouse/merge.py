@@ -41,7 +41,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-from gobblin_spark.lakehouse.table import LakeTable, Snapshot, bucket_expr
+from gobblin_spark.lakehouse.table import (
+    ConcurrentCommitError,
+    LakeTable,
+    Snapshot,
+    bucket_expr,
+)
 
 # System columns stored in the target table.
 SEQ_COL = "__seq"
@@ -505,6 +510,84 @@ def merge_lww_mor(
     )
 
 
+def _discard_files(table: LakeTable, files) -> None:
+    """Best-effort removal of freshly-written files a conflicting commit
+    invalidated — anything missed is an unreferenced orphan that vacuum()
+    collects, never visible data."""
+    import os as _os
+    for f in files:
+        try:
+            table.fs.remove(_os.path.join(table.root, f.path))
+        except OSError:
+            pass
+
+
+def _rebase_rewrite(
+    table: LakeTable,
+    base: Snapshot,
+    consumed: list,
+    new_files: list,
+    properties: dict[str, Any] | None,
+    max_retries: int = 5,
+) -> tuple[Snapshot | None, set[int]]:
+    """Iceberg-style commit rebase for a file rewrite that lost an
+    optimistic-concurrency race (≙ the reference running compaction as a
+    SEPARATE job family, MRCompactor vs ingest — the race is a production
+    shape there, so losing it must not discard the rewrite work).
+
+    ``consumed`` are the exact input files the rewrite folded; a bucket of
+    the rewrite is still VALID on top of the winning commit iff its file
+    set is byte-identical in the new current snapshot (the winner didn't
+    touch it) and the schema didn't move. Valid buckets re-commit
+    METADATA-ONLY — cur's files minus that bucket's consumed inputs plus
+    its rewrite outputs (files of the bucket the rewrite did NOT consume
+    are kept); invalid buckets are the caller's to re-fold. Returns
+    (new snapshot or None, buckets landed)."""
+    consumed_by_bucket: dict[int, set[str]] = {}
+    for f in consumed:
+        consumed_by_bucket.setdefault(f.bucket, set()).add(f.path)
+    valid = set(consumed_by_bucket)
+    by_bucket: dict[int, set[str]] = {}
+    for f in base.files:
+        by_bucket.setdefault(f.bucket, set()).add(f.path)
+    for _ in range(max_retries):
+        cur = table.snapshot()
+        if (cur.schema_version != base.schema_version
+                or cur.schema_json != base.schema_json):
+            # schema evolved under us: every rewritten file carries the old
+            # layout — nothing is salvageable metadata-only
+            return None, set()
+        cur_by_bucket: dict[int, set[str]] = {}
+        for f in cur.files:
+            cur_by_bucket.setdefault(f.bucket, set()).add(f.path)
+        valid = {b for b in valid
+                 if cur_by_bucket.get(b, set()) == by_bucket.get(b, set())}
+        if not valid:
+            return None, set()
+        drop = set().union(*(consumed_by_bucket[b] for b in valid))
+        keep = [f for f in cur.files if f.path not in drop]
+        add = [f for f in new_files if f.bucket in valid]
+        props = dict(properties or {})
+        # inherit the WINNER's delta flag, never our stale plan's: if the
+        # winner appended fresh deltas (necessarily to buckets we are not
+        # swapping — ours are validated untouched), they are still
+        # unfolded; if the winner left the table clean, replacing consumed
+        # files with a valid fold of them keeps it clean
+        props["mor_deltas"] = int(cur.properties.get("mor_deltas", 0))
+        if "gc_horizon_seq" in props:
+            props["gc_horizon_seq"] = max(
+                int(props["gc_horizon_seq"]),
+                int(cur.properties.get("gc_horizon_seq", -1)))
+        try:
+            snap = table.commit(keep_files=keep, add_files=add,
+                                properties=props,
+                                expected_version=cur.version)
+            return snap, valid
+        except ConcurrentCommitError:
+            continue  # another writer raced the rebase itself: revalidate
+    return None, set()
+
+
 def compact(
     table: LakeTable,
     salt_buckets: int = 0,
@@ -513,6 +596,7 @@ def compact(
     buckets: set[int] | None = None,
     min_files_per_bucket: int = 2,
     gc_horizon_seq: int | None = None,
+    max_commit_retries: int = 3,
 ) -> Snapshot:
     """Fold MOR delta files into one row per key (LWW by __seq) — the
     reference's standalone compaction job (MRCompactor), as one bucketed
@@ -533,54 +617,91 @@ def compact(
     pass ``buckets`` to restrict further. At 100 TB this is what bounds
     compaction cost to the actively-written part of the table — the analog
     of the reference recompacting only datasets whose late-data ratio
-    crossed a threshold (MRCompactor.java:147-157)."""
-    snap = table.snapshot()
-    if int(snap.properties.get("mor_deltas", 0)) == 0:
-        return snap
-    per_bucket: dict[int, int] = {}
-    unreduced: set[int] = set()
-    for f in snap.files:
-        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
-        if not f.reduced:
-            unreduced.add(f.bucket)
-    # a bucket needs folding when files can conflict on a key: ≥2 files, or
-    # a single raw-append delta (not guaranteed one-row-per-key internally)
-    target_buckets = {
-        b for b, n in per_bucket.items() if n >= min_files_per_bucket
-    } | unreduced
-    need_fold = set(target_buckets)
-    if buckets is not None:
-        target_buckets &= buckets
-    if not target_buckets:
+    crossed a threshold (MRCompactor.java:147-157).
+
+    Concurrent-writer safe: the commit is optimistic, and on losing the
+    race to another writer (ingest appending deltas, another compactor)
+    the rewrite is REBASED rather than discarded — buckets whose input
+    file sets the winner didn't touch re-commit metadata-only on top of
+    the winning snapshot; invalidated buckets are re-planned and re-folded
+    from the new snapshot, up to ``max_commit_retries`` rounds. ≙ the
+    reference running compaction as a separate job family (MRCompactor
+    racing ingest is the production shape), with Iceberg's
+    validate-and-retry instead of its job-level lock."""
+    last_exc: Exception | None = None
+    for _ in range(max_commit_retries + 1):
+        snap = table.snapshot()
+        if int(snap.properties.get("mor_deltas", 0)) == 0:
+            return snap
+        per_bucket: dict[int, int] = {}
+        unreduced: set[int] = set()
+        for f in snap.files:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+            if not f.reduced:
+                unreduced.add(f.bucket)
+        # a bucket needs folding when files can conflict on a key: ≥2
+        # files, or a single raw-append delta (not guaranteed
+        # one-row-per-key internally)
+        target_buckets = {
+            b for b, n in per_bucket.items() if n >= min_files_per_bucket
+        } | unreduced
+        need_fold = set(target_buckets)
+        if buckets is not None:
+            target_buckets &= buckets
+        if not target_buckets:
+            props = dict(properties or {})
+            props["mor_deltas"] = int(bool(need_fold))
+            try:
+                return table.commit(keep_files=snap.files, add_files=[],
+                                    properties=props,
+                                    expected_version=snap.version)
+            except ConcurrentCommitError as exc:
+                last_exc = exc
+                continue  # metadata-only: replan from the winner, cheap
+        keep = [f for f in snap.files if f.bucket not in target_buckets]
+        # pinned read: fold exactly the snapshot the commit will validate
+        # against, never files a concurrent commit lands mid-job
+        df = table.read(snap.version, buckets=target_buckets)
+        final = stored_reduce(snap, df, snap.merge_keys, salt_buckets,
+                              hot_keys)
+        if gc_horizon_seq is not None:
+            final = final.filter(
+                ~(F.col(DELETED_COL) & (F.col(SEQ_COL) <= gc_horizon_seq)))
+        # compaction is the write that pays for read layout: key-sorted
+        # files give narrow parquet row-group stats, so point lookups skip
+        # row groups in-file on top of manifest bucket + key_bounds skipping
+        new_files = table.write_data_files(final, seq_col=SEQ_COL,
+                                           sort_cols=list(snap.merge_keys))
         props = dict(properties or {})
-        props["mor_deltas"] = int(bool(need_fold))
-        return table.commit(keep_files=snap.files, add_files=[],
-                            properties=props, expected_version=snap.version)
-    keep = [f for f in snap.files if f.bucket not in target_buckets]
-    df = table.read(buckets=target_buckets)
-    final = stored_reduce(snap, df, snap.merge_keys, salt_buckets, hot_keys)
-    if gc_horizon_seq is not None:
-        final = final.filter(
-            ~(F.col(DELETED_COL) & (F.col(SEQ_COL) <= gc_horizon_seq)))
-    # compaction is the write that pays for read layout: key-sorted files
-    # give narrow parquet row-group stats, so point lookups skip row groups
-    # in-file on top of the manifest-level bucket + key_bounds skipping
-    new_files = table.write_data_files(final, seq_col=SEQ_COL,
-                                       sort_cols=list(snap.merge_keys))
-    props = dict(properties or {})
-    if gc_horizon_seq is not None:
-        props["gc_horizon_seq"] = gc_horizon_seq
-    # deltas remain only if a bucket subset was explicitly requested and
-    # some conflict-prone bucket was left unfolded
-    props["mor_deltas"] = 0 if buckets is None else int(
-        any(f.bucket in need_fold for f in keep)
-    )
-    return table.commit(
-        keep_files=keep,
-        add_files=new_files,
-        properties=props,
-        expected_version=snap.version,
-    )
+        if gc_horizon_seq is not None:
+            props["gc_horizon_seq"] = gc_horizon_seq
+        # deltas remain only if a bucket subset was explicitly requested
+        # and some conflict-prone bucket was left unfolded
+        props["mor_deltas"] = 0 if buckets is None else int(
+            any(f.bucket in need_fold for f in keep)
+        )
+        try:
+            return table.commit(
+                keep_files=keep,
+                add_files=new_files,
+                properties=props,
+                expected_version=snap.version,
+            )
+        except ConcurrentCommitError as exc:
+            last_exc = exc
+            consumed = [f for f in snap.files if f.bucket in target_buckets]
+            rebased, landed = _rebase_rewrite(
+                table, snap, consumed, new_files, props)
+            _discard_files(
+                table, [f for f in new_files if f.bucket not in landed])
+            if (rebased is not None and landed == target_buckets
+                    and int(rebased.properties.get("mor_deltas", 0)) == 0):
+                return rebased  # everything folded, winner added nothing
+            # invalidated buckets, a failed rebase, or deltas the winner
+            # appended re-fold from the fresh snapshot next round; work
+            # already landed metadata-only stays landed
+            continue
+    raise last_exc  # type: ignore[misc]
 
 
 def read_current(table: LakeTable, version: int | None = None) -> DataFrame:
@@ -724,36 +845,58 @@ def table_changes(
     return j.select(*sel).filter(F.col(change_col).isNotNull())
 
 
-def gc_tombstones(table: LakeTable, horizon_seq: int) -> Snapshot:
+def gc_tombstones(table: LakeTable, horizon_seq: int,
+                  max_commit_retries: int = 3) -> Snapshot:
     """Physically drop tombstones with seq <= horizon (safe once the
     out-of-order horizon passed: no event with smaller seq can still arrive).
     Rewrites only files that contain qualifying tombstones (min_seq stats).
 
     Requires a compacted table (no outstanding MOR deltas): with multiple
     rows per key on disk, dropping a tombstone could resurrect an older
-    update row — compact() first."""
-    snap = table.snapshot()
-    if int(snap.properties.get("mor_deltas", 0)) > 0:
-        raise ValueError("gc_tombstones on a MOR table: run compact() first")
-    rewrite = [
-        f
-        for f in snap.files
-        if (f.min_seq is None or f.min_seq <= horizon_seq)
-        and f.has_tombstones is not False  # stats-pruned: skip clean files
-    ]
-    keep = [f for f in snap.files if f not in rewrite]
-    if not rewrite:
-        return snap
-    # Schema-aware read: old-schema-version files (single-file buckets that
-    # incremental compaction skipped) must be conformed to the current
-    # schema before the rewrite is re-labeled at the current version — a raw
-    # parquet read would silently null renamed/added columns.
-    df = table.read_file_set(rewrite, snap)
-    cleaned = df.filter(~(F.col(DELETED_COL) & (F.col(SEQ_COL) <= horizon_seq)))
-    new_files = table.write_data_files(cleaned, seq_col=SEQ_COL)
-    return table.commit(
-        keep_files=keep,
-        add_files=new_files,
-        properties={"gc_horizon_seq": horizon_seq},
-        expected_version=snap.version,
-    )
+    update row — compact() first.
+
+    Concurrent-writer safe like compact(): on losing the commit race, the
+    per-bucket rewrite rebases metadata-only where the winner didn't touch
+    the inputs and re-runs only invalidated buckets."""
+    last_exc: Exception | None = None
+    for _ in range(max_commit_retries + 1):
+        snap = table.snapshot()
+        if int(snap.properties.get("mor_deltas", 0)) > 0:
+            raise ValueError(
+                "gc_tombstones on a MOR table: run compact() first")
+        rewrite = [
+            f
+            for f in snap.files
+            if (f.min_seq is None or f.min_seq <= horizon_seq)
+            and f.has_tombstones is not False  # stats-pruned: skip clean
+        ]
+        keep = [f for f in snap.files if f not in rewrite]
+        if not rewrite:
+            return snap
+        # Schema-aware read: old-schema-version files (single-file buckets
+        # that incremental compaction skipped) must be conformed to the
+        # current schema before the rewrite is re-labeled at the current
+        # version — a raw parquet read would silently null renamed/added
+        # columns.
+        df = table.read_file_set(rewrite, snap)
+        cleaned = df.filter(
+            ~(F.col(DELETED_COL) & (F.col(SEQ_COL) <= horizon_seq)))
+        new_files = table.write_data_files(cleaned, seq_col=SEQ_COL)
+        try:
+            return table.commit(
+                keep_files=keep,
+                add_files=new_files,
+                properties={"gc_horizon_seq": horizon_seq},
+                expected_version=snap.version,
+            )
+        except ConcurrentCommitError as exc:
+            last_exc = exc
+            rebased, landed = _rebase_rewrite(
+                table, snap, rewrite, new_files,
+                {"gc_horizon_seq": horizon_seq})
+            _discard_files(
+                table, [f for f in new_files if f.bucket not in landed])
+            if rebased is not None and landed == {f.bucket for f in rewrite}:
+                return rebased
+            continue
+    raise last_exc  # type: ignore[misc]
