@@ -722,6 +722,7 @@ def point_lookup(
     table: LakeTable,
     key: dict[str, Any],
     version: int | None = None,
+    prefer_local: bool = True,
 ) -> DataFrame:
     """Current visible state of ONE merge key without scanning the table:
     hash the key to its storage bucket (one local-relation Spark job, no
@@ -730,8 +731,27 @@ def point_lookup(
     primary-key read a CDC consumer expects from an upsert table (≙ Hive
     consumers of the reference's published tables predicate-pushing on the
     partition; here the merge-key hash layout IS the index). Valid with
-    unfolded MOR deltas (resolves across base+delta like read_current)."""
+    unfolded MOR deltas (resolves across base+delta like read_current).
+
+    ``prefer_local``: first try the DRIVER-side read (pointread.py) — the
+    manifest plus pyarrow row-group stats answer a single-key read in
+    milliseconds with zero Spark jobs; the result is wrapped in a local
+    DataFrame for an unchanged API. Falls back to the distributed path
+    for patch/cell dialects, schema-version drift, or oversized candidate
+    sets."""
     snap = table.snapshot(version)
+    if prefer_local:
+        from gobblin_spark.lakehouse.pointread import (
+            FALLBACK,
+            point_lookup_local,
+        )
+        row = point_lookup_local(table, key, version)
+        if row is not FALLBACK:
+            from pyspark.sql.types import StructType
+            visible = StructType(
+                [f for f in snap.schema.fields if f.name not in META_COLS])
+            return table.spark.createDataFrame(
+                [row] if row is not None else [], schema=visible)
     missing = [k for k in snap.bucket_cols if k not in key]
     if missing:
         raise ValueError(f"point_lookup needs all merge keys; missing {missing}")

@@ -344,7 +344,8 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_table_dir):
 
     LakeTable.read_file_set = spy
     try:
-        got = point_lookup(t, {"repo": live_key[0], "path": live_key[1]})
+        got = point_lookup(t, {"repo": live_key[0], "path": live_key[1]},
+                           prefer_local=False)
         rows = got.collect()
         assert len(rows) == 1
         assert rows[0]["commit"] == want[live_key]
@@ -352,9 +353,11 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_table_dir):
         if deleted:
             dk = deleted[0]
             assert point_lookup(
-                t, {"repo": dk[0], "path": dk[1]}).count() == 0
+                t, {"repo": dk[0], "path": dk[1]},
+                prefer_local=False).count() == 0
         assert point_lookup(
-            t, {"repo": "no_such", "path": "nope"}).count() == 0
+            t, {"repo": "no_such", "path": "nope"},
+            prefer_local=False).count() == 0
     finally:
         LakeTable.read_file_set = orig
 
@@ -412,7 +415,8 @@ def test_key_bounds_skip_mor_delta_files(spark, tmp_table_dir):
 
     LakeTable.read_file_set = spy
     try:
-        got = point_lookup(t, {"repo": live_key[0], "path": live_key[1]})
+        got = point_lookup(t, {"repo": live_key[0], "path": live_key[1]},
+                           prefer_local=False)
         assert got.collect()[0]["commit"] == want[live_key]
     finally:
         LakeTable.read_file_set = orig
@@ -431,7 +435,8 @@ def test_key_bounds_skip_mor_delta_files(spark, tmp_table_dir):
     counts.clear()
     LakeTable.read_file_set = spy
     try:
-        got = point_lookup(t, {"repo": live_key[0], "path": live_key[1]})
+        got = point_lookup(t, {"repo": live_key[0], "path": live_key[1]},
+                           prefer_local=False)
         assert got.collect()[0]["commit"] == want[live_key]
     finally:
         LakeTable.read_file_set = orig
