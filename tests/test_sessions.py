@@ -181,3 +181,97 @@ def test_streaming_sessionize_out_of_order_across_batches(
     # exactly ONE closed session: 10:00-10:10 with all 3 events (the late
     # 10:05 folded in); the 13:00 session remains open (no timers)
     assert got == [(1, t(10, 0), t(10, 10), 3)]
+
+
+def test_streaming_sessionize_event_time_watermark(spark, tmp_table_dir):
+    """Event-time watermark mode (gap 1h, allowed lateness 30min), driven
+    through real micro-batches (maxFilesPerTrigger=1, mtime-ordered):
+
+    - an event older than the watermark is DROPPED and surfaced in the
+      closing session's late_dropped count;
+    - an in-watermark late event is absorbed into the open session;
+    - the open session closes via the gap rule when a newer event proves
+      the gap, and via the EVENT-TIME TIMEOUT when another key's events
+      advance the watermark past session_end + gap (no wall clock);
+    - a late-only batch for a key with no open session emits a zero-event
+      marker row carrying the count;
+    - the emitted sessions equal the batch sessionizer run over the
+      surviving (non-dropped) events — the batch twin."""
+    import glob
+    import shutil
+
+    from gobblin_spark.operators.sessions import session_stats
+    from gobblin_spark.streaming.sessions import streaming_sessionize
+
+    src = os.path.join(tmp_table_dir, "wm_src")
+    os.makedirs(src)
+
+    def _write_batch(name, rows, mtime):
+        stage = os.path.join(tmp_table_dir, f"wm_stage_{name}")
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    base = 1_000_000_000
+    # batch a: in-order 10:00, 10:10 → watermark for batch b = 09:40
+    _write_batch("a", [(1, t(10, 0)), (1, t(10, 10))], base)
+    # batch b: 09:30 < wm → dropped+counted; 10:05 in-watermark late →
+    # absorbed; 13:00 proves the 1h gap → session 1 closes (n=3, late=1);
+    # also user 3's only event is LATE → zero-event marker row
+    _write_batch("b", [(1, t(9, 30)), (1, t(10, 5)), (1, t(13, 0)),
+                       (3, t(9, 0))], base + 1000)
+    # batch c: wm = 12:30; 16:00 proves the gap → session 2 closes (n=1)
+    _write_batch("c", [(1, t(16, 0))], base + 2000)
+    # batch d: another KEY's event raises max-seen to 18:00
+    _write_batch("d", [(2, t(18, 0))], base + 3000)
+    # batch e: wm = 17:30 > 16:00+gap → user 1's event-time timeout fires,
+    # session 3 closes with NO new event for user 1
+    _write_batch("e", [(2, t(18, 1))], base + 4000)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    closed = streaming_sessionize(
+        stream, gap_seconds=3600, allowed_lateness_seconds=1800
+    )
+    q = (
+        closed.writeStream.format("memory")
+        .queryName("wm_sessions")
+        .option("checkpointLocation", os.path.join(tmp_table_dir, "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.sql("SELECT * FROM wm_sessions").collect()
+    sessions = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["late_dropped"]) for r in rows if r["n_events"] > 0)
+    assert sessions == [
+        (1, t(10, 0), t(10, 10), 3, 1),   # absorbed 10:05, dropped 09:30
+        (1, t(13, 0), t(13, 0), 1, 0),    # closed by the gap rule
+        (1, t(16, 0), t(16, 0), 1, 0),    # closed by event-time timeout
+    ]
+    markers = [(r["user_id"], r["late_dropped"]) for r in rows
+               if r["n_events"] == 0]
+    assert markers == [(3, 1)]
+    assert all(r["session_start"] is None and r["session_end"] is None
+               for r in rows if r["n_events"] == 0)
+
+    # batch twin: the same sessions come out of the batch operator over
+    # the events that survived the watermark (user 1, minus 09:30)
+    surviving = [(1, x) for x in
+                 [t(10, 0), t(10, 5), t(10, 10), t(13, 0), t(16, 0)]]
+    twin = session_stats(
+        spark.createDataFrame(surviving, ["user_id", "ts"]),
+        "user_id", "ts", gap_seconds=3600)
+    want = sorted((r["user_id"], r["session_start"], r["session_end"],
+                   r["n_events"]) for r in twin.collect())
+    assert [(u, s, e, n) for u, s, e, n, _ in sessions] == want
