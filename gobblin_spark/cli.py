@@ -40,9 +40,38 @@ def _get_session(args):
     return SparkSession.builder.getOrCreate()
 
 
+def _resolve_table(args) -> None:
+    """``--catalog ROOT`` makes ``--table`` (and ``--err``) a catalog NAME:
+    resolve it to the registered roots, and default --state/--err from the
+    entry when the flag wasn't given (≙ a Hive consumer addressing the
+    reference's published datasets by registered name,
+    HiveRegistrationPublisher.java:56)."""
+    cat = getattr(args, "catalog", "")
+    if not cat or getattr(args, "register_as", ""):
+        # no catalog, or registration mode (--register-as: --table is the
+        # PATH being registered, not a name to resolve)
+        if getattr(args, "state", None) == "" and hasattr(args, "events"):
+            raise SystemExit("--state is required (or pass --catalog with "
+                             "a registered state_root)")
+        return
+    from gobblin_spark.catalog import Catalog
+
+    e = Catalog(cat).get(args.table)
+    args.table = e.table_root
+    if getattr(args, "state", None) in ("", None) and hasattr(args, "state"):
+        if not e.state_root:
+            raise SystemExit(
+                f"catalog entry {e.name!r} has no state_root; pass --state")
+        args.state = e.state_root
+    if getattr(args, "err", None) in ("", None) and hasattr(args, "err"):
+        if e.err_root:
+            args.err = e.err_root
+
+
 def cmd_ingest(args) -> int:
     from gobblin_spark.engine import CdcEngine
 
+    _resolve_table(args)
     spark = _get_session(args)
     events = spark.read.parquet(args.events)
     if args.shard:
@@ -78,6 +107,16 @@ def cmd_ingest(args) -> int:
     results = eng.run_until_caught_up(max_batches=args.max_batches)
     wall = time.time() - t0
     applied = sum(r.rows_read for r in results)
+    if args.register_as:
+        # registration rides the publish, like the reference's
+        # HiveRegistrationPublisher registering what it just published
+        if not args.catalog:
+            raise SystemExit("--register-as needs --catalog")
+        from gobblin_spark.catalog import Catalog
+
+        Catalog(args.catalog).register(
+            args.register_as, args.table, state_root=args.state,
+            overwrite=True)
     print(json.dumps({
         "batches": len(results),
         "events_applied": applied,
@@ -86,6 +125,34 @@ def cmd_ingest(args) -> int:
         "snapshot_version": eng.table.current_version(),
         "table_stats": eng.table.stats(),
     }))
+    return 0
+
+
+def cmd_catalog(args) -> int:
+    """Catalog CRUD: register/list/describe/drop named tables (no Spark
+    needed — pure CommitFs metadata)."""
+    from gobblin_spark.catalog import Catalog
+
+    cat = Catalog(args.catalog)
+    if args.action == "register":
+        if not args.name or not args.table:
+            raise SystemExit("register needs --name and --table")
+        props = dict(kv.split("=", 1) for kv in args.prop) if args.prop else {}
+        e = cat.register(args.name, args.table, state_root=args.state or None,
+                         err_root=args.err or None, properties=props,
+                         overwrite=args.overwrite)
+        print(json.dumps(e.to_json()))
+    elif args.action == "list":
+        print(json.dumps([e.to_json() for e in cat.list()]))
+    elif args.action == "describe":
+        if not args.name:
+            raise SystemExit("describe needs --name")
+        print(json.dumps(cat.describe(args.name)))
+    elif args.action == "drop":
+        if not args.name:
+            raise SystemExit("drop needs --name")
+        cat.drop(args.name)
+        print(json.dumps({"dropped": args.name}))
     return 0
 
 
@@ -186,6 +253,9 @@ def cmd_tail(args) -> int:
 def cmd_status(args) -> int:
     from gobblin_spark.state.store import StateStore
 
+    _resolve_table(args)
+    if not args.state:
+        raise SystemExit("--state is required (or --catalog + --table NAME)")
     store = StateStore(args.state)
     wm = store.last_committed_watermarks()
     print(json.dumps({
@@ -266,6 +336,7 @@ def cmd_compact(args) -> int:
     from gobblin_spark.lakehouse import LakeTable
     from gobblin_spark.lakehouse.merge import compact
 
+    _resolve_table(args)
     spark = _get_session(args)
     table = LakeTable(spark, args.table)
     snap = compact(table, salt_buckets=args.salt_buckets)
@@ -327,6 +398,8 @@ def cmd_changes(args) -> int:
     import pyspark.sql.functions as F
 
     from gobblin_spark.lakehouse import LakeTable
+
+    _resolve_table(args)
     from gobblin_spark.lakehouse.merge import table_changes
 
     spark = _get_session(args)
@@ -403,6 +476,7 @@ def cmd_history(args) -> int:
     manifest reads — no Spark session."""
     from gobblin_spark.lakehouse import LakeTable
 
+    _resolve_table(args)
     table = LakeTable(None, args.table)
     out = []
     for s in table.history():
@@ -568,8 +642,17 @@ def main(argv: list[str] | None = None) -> int:
 
     ing = sub.add_parser("ingest", help="run the CDC batch loop to caught-up")
     ing.add_argument("--events", required=True, help="change-event parquet path")
-    ing.add_argument("--table", required=True, help="target LakeTable root")
-    ing.add_argument("--state", required=True, help="checkpoint/state root")
+    ing.add_argument("--table", required=True,
+                     help="target LakeTable root, or a catalog NAME when "
+                          "--catalog is given")
+    ing.add_argument("--state", default="", help="checkpoint/state root "
+                     "(defaults from the catalog entry with --catalog)")
+    ing.add_argument("--catalog", default="",
+                     help="catalog root: --table becomes a registered name")
+    ing.add_argument("--register-as", default="",
+                     help="after a successful run, register --table/--state "
+                          "under this name in --catalog (publish-time "
+                          "registration)")
     ing.add_argument("--max-records-per-batch", type=int, default=2_000_000)
     ing.add_argument("--max-records-per-unit", type=int, default=250_000)
     ing.add_argument("--salt-buckets", type=int, default=8)
@@ -690,7 +773,10 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--local-cores", type=int, default=0)
 
     st = sub.add_parser("status", help="print watermarks + pending batches")
-    st.add_argument("--state", required=True)
+    st.add_argument("--state", default="")
+    st.add_argument("--table", default="",
+                    help="catalog NAME (with --catalog) to resolve --state")
+    st.add_argument("--catalog", default="")
 
     mt = sub.add_parser(
         "metrics", help="run-history metrics/lineage report from the "
@@ -701,7 +787,9 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--top-groups", type=int, default=5)
 
     cp = sub.add_parser("compact", help="fold MOR delta files (LWW by key)")
-    cp.add_argument("--table", required=True)
+    cp.add_argument("--table", required=True,
+                    help="LakeTable root, or a catalog NAME with --catalog")
+    cp.add_argument("--catalog", default="")
     cp.add_argument("--salt-buckets", type=int, default=0)
     cp.add_argument("--local-cores", type=int, default=0)
 
@@ -714,7 +802,9 @@ def main(argv: list[str] | None = None) -> int:
         help="incremental changelog read: insert/update/delete rows "
              "between two snapshots (bucket-pruned diff)",
     )
-    ch.add_argument("--table", required=True)
+    ch.add_argument("--table", required=True,
+                    help="LakeTable root, or a catalog NAME with --catalog")
+    ch.add_argument("--catalog", default="")
     ch.add_argument("--from-version", type=int, required=True)
     ch.add_argument("--to-version", type=int, default=0,
                     help="default: current version")
@@ -760,7 +850,9 @@ def main(argv: list[str] | None = None) -> int:
         "history",
         help="list snapshot history (no Spark needed)",
     )
-    hi.add_argument("--table", required=True)
+    hi.add_argument("--table", required=True,
+                    help="LakeTable root, or a catalog NAME with --catalog")
+    hi.add_argument("--catalog", default="")
 
     rb = sub.add_parser(
         "rollback",
@@ -807,6 +899,22 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--window-tokens", type=int, default=2048)
     cu.add_argument("--local-cores", type=int, default=0)
 
+    ca = sub.add_parser(
+        "catalog",
+        help="named-table registry CRUD (register/list/describe/drop); "
+             "no Spark needed",
+    )
+    ca.add_argument("action", choices=["register", "list", "describe",
+                                       "drop"])
+    ca.add_argument("--catalog", required=True, help="catalog root dir")
+    ca.add_argument("--name", default="")
+    ca.add_argument("--table", default="", help="LakeTable root to register")
+    ca.add_argument("--state", default="")
+    ca.add_argument("--err", default="")
+    ca.add_argument("--prop", action="append", default=[],
+                    metavar="K=V", help="registration property (repeatable)")
+    ca.add_argument("--overwrite", action="store_true")
+
     args = p.parse_args(argv)
     return {"ingest": cmd_ingest, "bootstrap": cmd_bootstrap,
             "replay-errors": cmd_replay_errors,
@@ -817,6 +925,7 @@ def main(argv: list[str] | None = None) -> int:
             "changes": cmd_changes, "expire": cmd_expire,
             "history": cmd_history, "rollback": cmd_rollback,
             "stream": cmd_stream,
+            "catalog": cmd_catalog,
             "curate": cmd_curate}[args.cmd](args)
 
 
