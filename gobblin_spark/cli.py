@@ -156,6 +156,27 @@ def cmd_catalog(args) -> int:
     return 0
 
 
+def cmd_sync(args) -> int:
+    """Changelog-driven incremental sync: ship the table's row-level
+    changes since the last synced snapshot version into a downstream
+    format sink, exactly-once (own watermark in --state)."""
+    from gobblin_spark.sync import sync_changes
+
+    if not args.state:
+        # must come BEFORE catalog resolution: the entry's state_root is
+        # the INGEST's log — writing the sync's version watermark into the
+        # ingest's group-0 seq watermark would corrupt planning
+        raise SystemExit("sync needs its own --state root (never the "
+                         "ingest's)")
+    _resolve_table(args)
+    spark = _get_session(args)
+    res = sync_changes(
+        spark, args.table, args.state, args.out, fmt=args.format,
+        from_version=args.from_version or None)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_replay_errors(args) -> int:
     """Dead-letter replay: re-merge quarantined err-file rows at their
     ORIGINAL seq (LWW keeps newer data authoritative), skipping rows at or
@@ -899,6 +920,24 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--window-tokens", type=int, default=2048)
     cu.add_argument("--local-cores", type=int, default=0)
 
+    sy = sub.add_parser(
+        "sync",
+        help="changelog-driven incremental sync: ship row-level changes "
+             "since the last synced version into a format sink, "
+             "exactly-once (own watermark under --state)",
+    )
+    sy.add_argument("--table", required=True,
+                    help="LakeTable root, or a catalog NAME with --catalog")
+    sy.add_argument("--catalog", default="")
+    sy.add_argument("--state", default="",
+                    help="the SYNC's own state root (not the ingest's)")
+    sy.add_argument("--out", required=True, help="downstream sink root")
+    sy.add_argument("--format", default="parquet")
+    sy.add_argument("--from-version", type=int, default=0,
+                    help="first-run start version (default: the table's "
+                         "first snapshot = full-snapshot initial sync)")
+    sy.add_argument("--local-cores", type=int, default=0)
+
     ca = sub.add_parser(
         "catalog",
         help="named-table registry CRUD (register/list/describe/drop); "
@@ -925,6 +964,7 @@ def main(argv: list[str] | None = None) -> int:
             "changes": cmd_changes, "expire": cmd_expire,
             "history": cmd_history, "rollback": cmd_rollback,
             "stream": cmd_stream,
+            "sync": cmd_sync,
             "catalog": cmd_catalog,
             "curate": cmd_curate}[args.cmd](args)
 
