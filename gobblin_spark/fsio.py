@@ -258,4 +258,158 @@ class ObjectStoreFs(CommitFs):
         """No-op: object stores have no empty directories to prune."""
 
 
+class S3Fs(CommitFs):
+    """Real S3 metadata plane via boto3 — the wire-level port of
+    ObjectStoreFs's contract (which it is tested against, moto-gated, in
+    tests/test_s3fs.py):
+
+    - ``publish_if_absent`` = conditional PUT with ``If-None-Match: *``
+      (S3 conditional writes); HTTP 412 PreconditionFailed is the
+      CommitConflict signal — exactly one racing writer wins, enforced by
+      the STORE, no client-side locking.
+    - ``write_replace`` = plain PUT (whole-object replace is atomic).
+    - ``exists`` on a "directory" = any key under the prefix (one LIST
+      with MaxKeys=1), matching s3a's directory emulation.
+    - ``remove_tree`` = paginated LIST + batched DeleteObjects.
+
+    Path convention: the engine addresses everything with one absolute
+    path string (e.g. ``/lake/t/_meta/v1.json``); the key is that path
+    minus the leading slash, under an optional ``prefix``. Paths returned
+    by ``walk_files``/``listdir`` reconstruct the same convention, so
+    ``os.path`` composition in callers keeps working.
+
+    Scope: this is the COMMIT-PROTOCOL plane (manifests, state store,
+    catalog, quarantine metadata). The bulk data plane at scale stays on
+    Spark's own s3a:// reader/writer — Spark executors never route
+    multi-GB parquet through the driver's boto3 client."""
+
+    def __init__(self, bucket: str, prefix: str = "", client=None,
+                 endpoint_url: str | None = None):
+        if client is None:
+            import boto3
+
+            client = boto3.client("s3", endpoint_url=endpoint_url)
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.client = client
+
+    def _key(self, path: str) -> str:
+        k = path.lstrip("/")
+        return f"{self.prefix}/{k}" if self.prefix else k
+
+    def _path(self, key: str) -> str:
+        if self.prefix:
+            key = key[len(self.prefix) + 1:]
+        return "/" + key
+
+    # -- atomic primitives
+    def publish_if_absent(self, content: bytes, target: str) -> None:
+        from botocore.exceptions import ClientError
+
+        try:
+            self.client.put_object(Bucket=self.bucket,
+                                   Key=self._key(target),
+                                   Body=content, IfNoneMatch="*")
+        except ClientError as exc:
+            code = exc.response.get("Error", {}).get("Code", "")
+            if code in ("PreconditionFailed", "ConditionalRequestConflict",
+                        "412"):
+                raise CommitConflict(target) from exc
+            raise
+
+    def write_replace(self, content: bytes, target: str) -> None:
+        self.client.put_object(Bucket=self.bucket, Key=self._key(target),
+                               Body=content)
+
+    # -- plain operations
+    def read(self, path: str) -> bytes:
+        from botocore.exceptions import ClientError
+
+        try:
+            r = self.client.get_object(Bucket=self.bucket,
+                                       Key=self._key(path))
+        except ClientError as exc:
+            if exc.response.get("Error", {}).get("Code") in ("NoSuchKey",
+                                                             "404"):
+                raise FileNotFoundError(path) from exc
+            raise
+        return r["Body"].read()
+
+    def exists(self, path: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        key = self._key(path)
+        try:
+            self.client.head_object(Bucket=self.bucket, Key=key)
+            return True
+        except ClientError as exc:
+            if exc.response.get("Error", {}).get("Code") not in ("404",
+                                                                 "NoSuchKey"):
+                raise
+        r = self.client.list_objects_v2(Bucket=self.bucket,
+                                        Prefix=key.rstrip("/") + "/",
+                                        MaxKeys=1)
+        return r.get("KeyCount", 0) > 0
+
+    def listdir(self, path: str) -> list[str]:
+        prefix = self._key(path).rstrip("/") + "/"
+        names: set[str] = set()
+        token = None
+        while True:
+            kw = dict(Bucket=self.bucket, Prefix=prefix, Delimiter="/")
+            if token:
+                kw["ContinuationToken"] = token
+            r = self.client.list_objects_v2(**kw)
+            for c in r.get("Contents", []):
+                names.add(c["Key"][len(prefix):])
+            for p in r.get("CommonPrefixes", []):
+                names.add(p["Prefix"][len(prefix):].rstrip("/"))
+            if not r.get("IsTruncated"):
+                break
+            token = r.get("NextContinuationToken")
+        return sorted(n for n in names if n)
+
+    def walk_files(self, root: str) -> Iterator[str]:
+        prefix = self._key(root).rstrip("/") + "/"
+        token = None
+        while True:
+            kw = dict(Bucket=self.bucket, Prefix=prefix)
+            if token:
+                kw["ContinuationToken"] = token
+            r = self.client.list_objects_v2(**kw)
+            for c in r.get("Contents", []):
+                yield self._path(c["Key"])
+            if not r.get("IsTruncated"):
+                return
+            token = r.get("NextContinuationToken")
+
+    def mtime_ms(self, path: str) -> int:
+        r = self.client.head_object(Bucket=self.bucket,
+                                    Key=self._key(path))
+        return int(r["LastModified"].timestamp() * 1000)
+
+    def remove(self, path: str) -> None:
+        if not self.exists(path):
+            raise FileNotFoundError(path)  # match LocalFs error contract
+        self.client.delete_object(Bucket=self.bucket, Key=self._key(path))
+
+    def remove_tree(self, root: str) -> None:
+        batch: list[dict] = []
+        for p in self.walk_files(root):
+            batch.append({"Key": self._key(p)})
+            if len(batch) == 1000:  # DeleteObjects cap
+                self.client.delete_objects(Bucket=self.bucket,
+                                           Delete={"Objects": batch})
+                batch = []
+        if batch:
+            self.client.delete_objects(Bucket=self.bucket,
+                                       Delete={"Objects": batch})
+
+    def makedirs(self, path: str) -> None:
+        """No-op: keys don't need parents."""
+
+    def prune_empty_dirs(self, root: str) -> None:
+        """No-op: object stores have no empty directories to prune."""
+
+
 DEFAULT_FS = LocalFs()

@@ -590,9 +590,14 @@ class LakeTable:
         _metadata.file_path), never from partition-column type inference,
         so partition values like '2024-01-05' stay verbatim strings."""
         # one LIST to know whether anything was written (a zero-row write
-        # leaves only _SUCCESS, and spark.read.parquet would fail on it)
+        # leaves only _SUCCESS, and spark.read.parquet would fail on it).
+        # DATA-plane listing: the files were written by Spark's own
+        # writer, so list them through Hadoop's FileSystem for the actual
+        # output URI (file://, hdfs://, s3a://) — the metadata CommitFs
+        # may live on a different store entirely (manifests in S3, data
+        # via s3a is the production split)
         if not any(
-            p.endswith(".parquet") for p in self.fs.walk_files(out_dir)
+            p.endswith(".parquet") for p in self._walk_data_files(out_dir)
         ):
             return []
         df = self.spark.read.parquet(out_dir)
@@ -913,11 +918,43 @@ class LakeTable:
         self._publish_manifest(snap)
         return snap
 
+    def _walk_data_files(self, root: str):
+        """DATA-plane listing: Hadoop's FileSystem for the table URI (what
+        Spark's writer actually produced — file://, hdfs://, s3a://). The
+        metadata CommitFs may be a different store (hybrid deployment:
+        manifests via S3Fs, data via s3a); falls back to the CommitFs for
+        sparkless handles (local maintenance paths)."""
+        if self.spark is None:
+            yield from self.fs.walk_files(root)
+            return
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(root)
+        hfs = p.getFileSystem(conf)
+        if not hfs.exists(p):
+            return
+        it = hfs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next().getPath()
+            u = f.toUri()
+            yield u.getPath() if u.getScheme() in (None, "file") else str(f)
+
+    def _remove_data_file(self, path: str) -> None:
+        if self.spark is None:
+            self.fs.remove(path)
+            return
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).delete(p, False)
+
     def vacuum(self) -> int:
         """Delete data files not referenced by any snapshot (orphans from
         failed writes) — ≙ cleanupStagingData (AbstractJobLauncher.java:706).
         Also removes manifest shards no snapshot references (orphans from
-        commits that crashed between shard write and manifest publish)."""
+        commits that crashed between shard write and manifest publish).
+        Data files are listed/removed on the DATA plane (Hadoop FS for the
+        table URI); manifest shards on the metadata CommitFs."""
         live: set[str] = set()
         live_shards: set[str] = set()
         for snap in self.history():
@@ -927,10 +964,10 @@ class LakeTable:
                 live_shards.add(name)
         removed = 0
         data_root = os.path.join(self.root, _DATA)
-        for full in self.fs.walk_files(data_root):
+        for full in self._walk_data_files(data_root):
             full = os.path.normpath(full)
             if full.endswith(".parquet") and full not in live:
-                self.fs.remove(full)
+                self._remove_data_file(full)
                 removed += 1
         for name in self.fs.listdir(self._meta_dir):
             if name.startswith("m-") and name.endswith(".json") \
