@@ -101,6 +101,7 @@ def cmd_ingest(args) -> int:
         merge_mode=args.merge_mode,
         merge_dialect=args.merge_dialect,
         compact_every=args.compact_every,
+        compact_bucket_ratio=args.compact_bucket_ratio,
         log_keep_last=args.log_keep_last or None,
     )
     t0 = time.time()
@@ -690,6 +691,11 @@ def main(argv: list[str] | None = None) -> int:
                           "mor: append deltas, compact periodically")
     ing.add_argument("--compact-every", type=int, default=8,
                      help="mor: compact after this many batches")
+    ing.add_argument("--compact-bucket-ratio", type=float, default=None,
+                     help="mor: per-bucket temperature trigger — fold a "
+                          "bucket as soon as ITS delta rows reach this "
+                          "ratio of its base rows (skew-friendly: one hot "
+                          "bucket compacts without rewriting cold ones)")
     ing.add_argument("--log-keep-last", type=int, default=64,
                      help="commit-log retention: fold older commits into a "
                           "rollup (watermarks merged, metrics summed) so "

@@ -186,6 +186,7 @@ class CdcEngine:
         merge_dialect: str = "row",
         compact_every: int | None = 8,
         compact_delta_ratio: float | None = 0.25,
+        compact_bucket_ratio: float | None = None,
         gc_after_compact: bool = True,
         task_policies: list | None = None,
         plan_partitioning: bool = True,
@@ -252,6 +253,7 @@ class CdcEngine:
         # - compact_every: fixed batch-count fallback cap. None disables.
         self.compact_every = compact_every
         self.compact_delta_ratio = compact_delta_ratio
+        self.compact_bucket_ratio = compact_bucket_ratio
         self.gc_after_compact = gc_after_compact
         self._batches_since_compact = 0
         # task-level publish gates: each has .check(rows_read) -> bool
@@ -469,7 +471,24 @@ class CdcEngine:
             tp = mark("merge_apply", tp)
             if self.merge_mode == "mor":
                 self._batches_since_compact += 1
-                if self._should_compact(snap):
+                should_full = self._should_compact(snap)
+                if not should_full and (
+                        hot_set := self._hot_bucket_set(snap)):
+                    # incremental pass: fold ONLY the hot buckets; the
+                    # batch counter keeps running so the full pass (with
+                    # its tombstone-GC ride-along for cold buckets) still
+                    # happens at the count cap
+                    snap = compact(
+                        self.table,
+                        buckets=hot_set,
+                        salt_buckets=self.salt_buckets if hot else 0,
+                        hot_keys=hot_df,
+                        properties={"compacted_after": batch_id,
+                                    "compacted_buckets": sorted(hot_set)},
+                    )
+                    snapshot_version = snap.version
+                    tp = mark("compact", tp)
+                elif should_full:
                     # Tombstone GC rides the compaction rewrite: seq is
                     # DELIVERY order and planning only ever admits seq >
                     # committed watermark, so no event at or below the
@@ -544,6 +563,18 @@ class CdcEngine:
                 self._batches_since_compact >= self.compact_every:
             return True
         return False
+
+    def _hot_bucket_set(self, snap) -> set[int] | None:
+        """Per-bucket temperature refinement: when the TABLE-wide triggers
+        are quiet but individual buckets crossed the delta-ratio (skewed
+        writes: one tenant churning), compact only those — O(hot bucket)
+        per cycle, cold buckets untouched. None = no incremental pass."""
+        if self.compact_bucket_ratio is None:
+            return None
+        from gobblin_spark.lakehouse.merge import hot_buckets
+
+        hot = hot_buckets(snap, self.compact_bucket_ratio)
+        return hot or None
 
     def run_until_caught_up(self, max_batches: int = 1000) -> list[BatchResult]:
         """Loop run_batch until the planner admits nothing. With a limiter

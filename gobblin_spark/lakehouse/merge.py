@@ -588,6 +588,30 @@ def _rebase_rewrite(
     return None, set()
 
 
+def hot_buckets(snap: Snapshot, delta_ratio: float) -> set[int]:
+    """Per-bucket compaction temperature from manifest metadata only
+    (O(files) driver math, no scan): a bucket is HOT when its outstanding
+    delta rows reach ``delta_ratio`` of its reduced base rows — or when it
+    has deltas but no base yet (all-delta bucket: the ratio is infinite).
+
+    This is the per-bucket refinement of the table-wide adaptive trigger
+    (≙ MRCompactor.java:147-157 recompacting only datasets whose
+    late-data ratio crossed the threshold — here the 'dataset' is one
+    hash bucket): a hot bucket compacts WITHOUT rewriting cold ones, so
+    skewed write patterns (one tenant/repo churning) pay O(hot bucket),
+    not O(table), per compaction cycle."""
+    delta: dict[int, int] = {}
+    base: dict[int, int] = {}
+    for f in snap.files:
+        d = delta if not f.reduced else base
+        d[f.bucket] = d.get(f.bucket, 0) + f.rows
+    return {
+        b for b, rows in delta.items()
+        if rows > 0 and (base.get(b, 0) == 0
+                         or rows / base[b] >= delta_ratio)
+    }
+
+
 def compact(
     table: LakeTable,
     salt_buckets: int = 0,

@@ -141,6 +141,70 @@ def main() -> None:
             "per_batch": per_batch,
         }
 
+    # --- per-bucket compaction temperature: skewed churn (2 hot buckets)
+    # against the seeded table; targeted pass vs table-wide rewrite
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.lakehouse.merge import (
+        compact,
+        hot_buckets,
+        merge_lww_mor,
+    )
+    from gobblin_spark.lakehouse.table import bucket_expr
+
+    n_buckets = max(32, CPUS)
+    data = events.filter(F.col("op").isin("I", "U", "D")).drop("version")
+    skew = (data.withColumn("__b", bucket_expr(["repo", "path"], n_buckets))
+            .filter(F.col("__b") < 2).drop("__b"))
+    n_skew = skew.count()
+    eng = CdcEngine(
+        spark, events,
+        table_root=os.path.join(work, "table_skew"),
+        state_root=os.path.join(work, "state_skew"),
+        n_buckets=n_buckets, merge_mode="mor")
+    eng.table.overwrite(seed_df(spark, N_REPOS, PATHS_PER_REPO,
+                                CONTENT_TOKENS), seq_col="__seq")
+    # a hot tenant churning: the same two buckets receive delta batch
+    # after delta batch while the other 30 stay cold
+    hi_seq = int(data.agg(F.max("seq")).first()[0])
+    for i in range(6):
+        merge_lww_mor(
+            eng.table,
+            skew.withColumn("seq", F.col("seq") + F.lit((i + 1) * (hi_seq + 1))),
+            ["repo", "path"], seq_col="seq")
+    snap = eng.table.snapshot()
+    delta_rows = sum(f.rows for f in snap.files if not f.reduced)
+    base_rows = sum(f.rows for f in snap.files if f.reduced)
+    hot = hot_buckets(snap, 0.25)
+    # the scheduling gap the per-bucket trigger closes: table-wide ratio
+    # stays silent under skew while the hot buckets drown in deltas
+    t2 = time.time()
+    n_with_deltas = (eng.current_state().count(), )[0]
+    read_with_deltas = round(time.time() - t2, 3)
+    pre = {f.path for f in snap.files}
+    t2 = time.time()
+    after = compact(eng.table, buckets=hot)
+    compact_wall = round(time.time() - t2, 3)
+    new_files = [f for f in after.files if f.path not in pre]
+    t2 = time.time()
+    n_after = eng.current_state().count()
+    read_after = round(time.time() - t2, 3)
+    assert n_after == n_with_deltas
+    per_bucket_doc = {
+        "skew_rows": n_skew,
+        "buckets_total": n_buckets,
+        "hot_buckets": sorted(hot),
+        "table_wide_delta_ratio": round(delta_rows / max(base_rows, 1), 4),
+        "table_trigger_fires_at_0.25": delta_rows / max(base_rows, 1) >= 0.25,
+        "bucket_trigger_fires_at_0.25": bool(hot),
+        "targeted_compact_wall_sec": compact_wall,
+        "files_rewritten": len(new_files),
+        "rows_rewritten": sum(f.rows for f in new_files),
+        "table_rows": base_rows,
+        "read_current_wall_with_lingering_deltas": read_with_deltas,
+        "read_current_wall_after_targeted_compact": read_after,
+    }
+
     ratio = (out_modes["mor"]["events_per_sec"]
              / max(out_modes["cow"]["events_per_sec"], 0.001))
     doc = {
@@ -156,6 +220,7 @@ def main() -> None:
         "generate_sec": gen_sec,
         "modes": out_modes,
         "mor_over_cow_speedup": round(ratio, 2),
+        "per_bucket_trigger": per_bucket_doc,
     }
     bench_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH")

@@ -487,3 +487,90 @@ def test_point_lookup_legacy_manifest_without_key_cols(
     got = point_lookup(t, {"repo": live_key[0], "path": live_key[1]})
     rows = got.collect()
     assert len(rows) == 1 and rows[0]["commit"] == want[live_key]
+
+
+def test_hot_buckets_selection_and_incremental_compaction(
+        spark, tmp_table_dir):
+    """Per-bucket compaction temperature: skewed deltas mark ONLY their
+    buckets hot; compact(buckets=hot) rewrites those and leaves every cold
+    bucket's files byte-identical (same manifest paths)."""
+    from gobblin_spark.lakehouse.merge import (
+        compact,
+        hot_buckets,
+        merge_lww_mor,
+    )
+
+    ev = make_events(spark, 2000)
+    t = new_table(spark, tmp_table_dir + "/t")
+    d = data_events(ev)
+    merge_lww_mor(t, d, KEYS)
+    compact(t)  # established base: every bucket one reduced file
+    base_snap = t.snapshot()
+    assert hot_buckets(base_snap, 0.05) == set()
+
+    # skewed churn: deltas land in TWO of the 8 buckets (bucket is
+    # hash(repo, path), so per-bucket skew is constructed per-bucket)
+    from gobblin_spark.lakehouse.table import bucket_expr
+    skew = (d.withColumn("__b", bucket_expr(KEYS, 8))
+            .filter(F.col("__b").isin(0, 1)).drop("__b"))
+    merge_lww_mor(t, skew, KEYS)
+    snap = t.snapshot()
+    hot = hot_buckets(snap, 0.05)
+    touched = {f.bucket for f in snap.files if not f.reduced}
+    assert hot == touched and 0 < len(hot) < snap.n_buckets
+
+    cold_paths = {f.path for f in base_snap.files if f.bucket not in hot}
+    after = compact(t, buckets=hot)
+    assert int(after.properties.get("mor_deltas", 0)) == 0
+    assert not [f for f in after.files if not f.reduced]
+    # cold buckets: untouched, byte-identical manifest entries
+    assert cold_paths <= {f.path for f in after.files}
+    assert hot_buckets(after, 0.05) == set()
+    assert_matches_oracle(read_current(t), d)
+
+
+def test_engine_per_bucket_compaction_temperature(spark, tmp_table_dir):
+    """Engine wiring: with compact_bucket_ratio set and the table-wide
+    triggers quiet, a skewed batch compacts only its hot buckets — cold
+    buckets' files survive by path — and the final state matches the
+    oracle."""
+    from gobblin_spark.engine import CdcEngine
+
+    ev = make_events(spark, 2400, delete_frac=0.0)
+    d = data_events(ev)
+    from gobblin_spark.lakehouse.table import bucket_expr
+    hi = int(d.agg(F.max("seq")).first()[0])
+    # phase 1: everything up to hi; phase 2: two buckets' rows
+    # re-delivered at later seqs (updates) — hot tenants churning
+    phase2 = (d.withColumn("__b", bucket_expr(KEYS, 8))
+              .filter(F.col("__b").isin(0, 1)).drop("__b")
+              .withColumn("seq", F.col("seq") + F.lit(hi + 1)))
+    events = d.unionByName(phase2)
+
+    eng = CdcEngine(
+        spark, events, tmp_table_dir + "/t", tmp_table_dir + "/s",
+        max_records_per_batch=d.count(),  # phase 1 = batch 1, phase 2 = 2
+        n_buckets=8, merge_mode="mor",
+        compact_every=1,  # full pass after batch 1 establishes the base
+        compact_delta_ratio=None, compact_bucket_ratio=0.05,
+    )
+    r1 = eng.run_batch()
+    assert not r1.empty
+    snap1 = eng.table.snapshot()
+    assert int(snap1.properties.get("mor_deltas", 0)) == 0
+    cold_paths = {f.path for f in snap1.files}
+
+    eng.compact_every = None  # table-wide triggers now quiet
+    r2 = eng.run_batch()
+    assert not r2.empty
+    snap2 = eng.table.snapshot()
+    comp_buckets = snap2.properties.get("compacted_buckets")
+    assert comp_buckets and len(comp_buckets) < snap1.n_buckets
+    assert int(snap2.properties.get("mor_deltas", 0)) == 0
+    # cold buckets' base files survived the incremental pass by path
+    survived = {f.path for f in snap2.files}
+    assert {p for p in cold_paths
+            if not any(f.path == p and f.bucket in set(comp_buckets)
+                       for f in snap1.files)} <= survived
+
+    assert_matches_oracle(read_current(eng.table), events)
