@@ -175,9 +175,23 @@ def main() -> None:
     # and understating efficiency. Real cluster executors are cgroup-capped;
     # pinning reproduces that.
     pin = shutil_which("taskset")
+
+    # Per-leg host-supply probe (zero engine code, pinned to the SAME core
+    # set the leg will occupy): converts "the VM was in a degraded window"
+    # from assertion into measurement, exactly like bench_multiexec's
+    # probes. supply ratios between paired legs qualify each efficiency.
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "bench_multiexec", os.path.join(REPO, "scripts",
+                                        "bench_multiexec.py"))
+    _bm = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_bm)
+
     runs: dict[int, list[dict]] = {BASE_CPUS: [], BASE_CPUS * 4: []}
     for rep in range(REPEATS):
         for cpus in (BASE_CPUS, BASE_CPUS * 4):
+            probe = _bm.probe_supply(cpus, 4.0)
             cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                    str(cpus), ev_path]
             if pin:
@@ -191,8 +205,11 @@ def main() -> None:
             line = [l for l in proc.stdout.splitlines()
                     if l.startswith("{")][-1]
             r = json.loads(line)
+            r["host_supply_probe"] = probe
             runs[cpus].append(r)
-            print(f"rep {rep} local[{cpus}]: {r['events_per_sec']} events/sec",
+            print(f"rep {rep} local[{cpus}]: {r['events_per_sec']} events/sec"
+                  f" (probe sha/core "
+                  f"{probe['sha_iters_per_s_total'] / cpus:.0f})",
                   file=sys.stderr)
 
     # best-of-K per level (least-contended window); all runs reported
@@ -223,6 +240,25 @@ def main() -> None:
     )
     med_pair_norm = (pair_effs_norm[len(pair_effs_norm) // 2]
                      if pair_effs_norm else None)
+    # per-pair supply qualification: per-core compute supply the host
+    # delivered to the two legs (1.0 = identical windows); and each leg's
+    # per-core supply vs the best per-core supply any leg in this
+    # invocation saw (1.0 = full-supply window)
+    best_per_core = max(
+        (r["host_supply_probe"]["sha_iters_per_s_total"] / r["cpus"]
+         for rs in runs.values() for r in rs if "host_supply_probe" in r),
+        default=None)
+    pair_supply = []
+    for l, h in zip(runs[BASE_CPUS], runs[BASE_CPUS * 4]):
+        if "host_supply_probe" not in l or "host_supply_probe" not in h:
+            continue
+        lo_pc = l["host_supply_probe"]["sha_iters_per_s_total"] / l["cpus"]
+        hi_pc = h["host_supply_probe"]["sha_iters_per_s_total"] / h["cpus"]
+        pair_supply.append({
+            "per_core_supply_ratio_hi_over_lo": round(hi_pc / lo_pc, 3),
+            "lo_supply_vs_best": round(lo_pc / best_per_core, 3),
+            "hi_supply_vs_best": round(hi_pc / best_per_core, 3),
+        })
     eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4 if lo[
         "events_per_sec"] else 0.0
     out = {
@@ -236,6 +272,7 @@ def main() -> None:
         "efficiency_median_pair": med_pair,
         "pair_efficiencies_steal_normalized": pair_effs_norm,
         "efficiency_median_pair_steal_normalized": med_pair_norm,
+        "pair_supply_probes": pair_supply,
         "efficiency_Nx4": round(eff, 3),
         "criterion": "throughput scaling efficiency >= 0.8 from N to 4N",
         "pass": max(eff, med_pair, med_pair_norm or 0.0) >= 0.8,
