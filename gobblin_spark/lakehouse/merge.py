@@ -513,11 +513,13 @@ def merge_lww_mor(
 def _discard_files(table: LakeTable, files) -> None:
     """Best-effort removal of freshly-written files a conflicting commit
     invalidated — anything missed is an unreferenced orphan that vacuum()
-    collects, never visible data."""
+    collects, never visible data. Data-plane removal (Hadoop FS for the
+    table URI), not the metadata CommitFs — the two differ in hybrid
+    deployments."""
     import os as _os
     for f in files:
         try:
-            table.fs.remove(_os.path.join(table.root, f.path))
+            table._remove_data_file(_os.path.join(table.root, f.path))
         except OSError:
             pass
 
