@@ -453,6 +453,236 @@ def q_cdc_changelog_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _event_cdc_stream(spark: SparkSession, sf_dir: str,
+                      round_value: bool = True) -> DataFrame:
+    """The canonical change-event rendering of the events table used by the
+    CDC gate queries: key=user_id, seq=event_id, 'error' = delete."""
+    ev = load(spark, sf_dir, "events")
+    value = F.round("value", 6) if round_value else F.col("value")
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        value.alias("value"),
+    )
+
+
+def _event_table_schema():
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+    return StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("__seq", LongType()),
+        StructField("__deleted", BooleanType()),
+    ])
+
+
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: apply the stream in two watermark-bounded
+    merges, then read the table AT THE FIRST COMMITTED VERSION — the
+    result must equal the LWW state of the seq<=w1 prefix even though the
+    table has since advanced (≙ a consumer pinning the snapshot a Gobblin
+    publish notified it about, while later publishes land)."""
+    import shutil
+    import tempfile
+
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import merge_lww, read_current
+
+    stream = _event_cdc_stream(spark, sf_dir)
+    w1 = stream.agg(F.floor(F.max("seq") / 2).cast("long")).first()[0]
+    d = tempfile.mkdtemp(prefix="gs_timetravel_")
+    try:
+        t = LakeTable.create(spark, f"{d}/table", _event_table_schema(),
+                             ["user_id"], n_buckets=8)
+        merge_lww(t, stream.filter(F.col("seq") <= w1), ["user_id"])
+        v1 = t.current_version()
+        merge_lww(t, stream.filter(F.col("seq") > w1), ["user_id"])
+        out = (read_current(t, version=v1)
+               .select("user_id", "event_type", "value")
+               .orderBy("user_id"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_CDC_TIME_TRAVEL = """
+WITH ev AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, round(value, 6) AS value
+  FROM events),
+w AS (SELECT CAST(FLOOR(max(seq) / 2) AS BIGINT) AS w1 FROM ev),
+ranked AS (
+  SELECT user_id, op, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) rn
+  FROM ev WHERE seq <= (SELECT w1 FROM w))
+SELECT user_id, event_type, value
+FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id
+"""
+
+
+def q_cdc_point_lookup_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups against a table with UNFOLDED merge-on-read deltas:
+    three MOR applies, no compaction — the lookup (driver-local fast path
+    first) must LWW-resolve base+delta candidate files per key, pruned by
+    bucket + key_bounds, and still match the full-replay oracle."""
+    import shutil
+    import tempfile
+
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import merge_lww_mor, point_lookup
+
+    stream = _event_cdc_stream(spark, sf_dir)
+    mx = stream.agg(F.max("seq")).first()[0]
+    w1, w2 = mx // 3, 2 * mx // 3
+    d = tempfile.mkdtemp(prefix="gs_lookup_mor_")
+    try:
+        t = LakeTable.create(spark, f"{d}/table", _event_table_schema(),
+                             ["user_id"], n_buckets=8)
+        merge_lww_mor(t, stream.filter(F.col("seq") <= w1), ["user_id"])
+        merge_lww_mor(t, stream.filter(
+            (F.col("seq") > w1) & (F.col("seq") <= w2)), ["user_id"])
+        merge_lww_mor(t, stream.filter(F.col("seq") > w2), ["user_id"])
+        parts = [point_lookup(t, {"user_id": uid}) for uid in (1, 2, 3)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.select("user_id", "event_type", "value").orderBy("user_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_cdc_sync_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-driven downstream sync: two ingests each followed by a
+    sync step shipping table_changes into range directories; the
+    downstream replay (per key, last change wins; deletes drop) must
+    reconstruct the upstream final visible state (≙ the reference's
+    publish-then-consume chain with first-class diffs)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import merge_lww
+    from gobblin_spark.sync import sync_changes
+
+    stream = _event_cdc_stream(spark, sf_dir)
+    w1 = stream.agg(F.floor(F.max("seq") / 2).cast("long")).first()[0]
+    d = tempfile.mkdtemp(prefix="gs_sync_")
+    try:
+        t = LakeTable.create(spark, f"{d}/table", _event_table_schema(),
+                             ["user_id"], n_buckets=8)
+        merge_lww(t, stream.filter(F.col("seq") <= w1), ["user_id"])
+        sync_changes(spark, f"{d}/table", f"{d}/sync_state", f"{d}/down")
+        merge_lww(t, stream.filter(F.col("seq") > w1), ["user_id"])
+        sync_changes(spark, f"{d}/table", f"{d}/sync_state", f"{d}/down")
+        ranges = sorted(
+            n for n in _os.listdir(f"{d}/down") if n.startswith("changes_v"))
+        parts = [
+            spark.read.parquet(_os.path.join(f"{d}/down", r))
+            .withColumn("__r", F.lit(i))
+            for i, r in enumerate(ranges)
+        ]
+        allc = parts[0]
+        for p in parts[1:]:
+            allc = allc.unionByName(p)
+        # within one range a key appears at most once → per key the change
+        # from the LATEST range wins; a winning delete drops the key
+        win = (
+            allc.groupBy("user_id")
+            .agg(F.expr(
+                "max_by(struct(_change_type, event_type, value), __r) AS w"))
+            .select("user_id", "w.*")
+        )
+        out = (win.filter(F.col("_change_type") != "delete")
+               .select("user_id", "event_type", "value")
+               .orderBy("user_id"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_CDC_VISIBLE_STATE = """
+WITH ranked AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, round(value, 6) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+  FROM events)
+SELECT user_id, event_type, value
+FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id
+"""
+
+
+def q_cdc_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-convergence fingerprint: full MOR replay + compaction, then
+    ONE order-independent content hash over the visible state — the
+    primitive behind `run_job.py fingerprint`'s per-row sha256-equality
+    verification, here md5-rendered so DuckDB replays it bit-exactly.
+    Doubles enter the hash as round(value*1e6) integers so both engines
+    format identically."""
+    import shutil
+    import tempfile
+
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import compact, merge_lww_mor, \
+        read_current
+
+    stream = _event_cdc_stream(spark, sf_dir)
+    w1 = stream.agg(F.floor(F.max("seq") / 2).cast("long")).first()[0]
+    d = tempfile.mkdtemp(prefix="gs_fp_")
+    try:
+        t = LakeTable.create(spark, f"{d}/table", _event_table_schema(),
+                             ["user_id"], n_buckets=8)
+        merge_lww_mor(t, stream.filter(F.col("seq") <= w1), ["user_id"])
+        merge_lww_mor(t, stream.filter(F.col("seq") > w1), ["user_id"])
+        compact(t)
+        s = F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.round(F.col("value") * 1e6, 0).cast("long").cast("string"),
+        )
+        out = read_current(t).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.conv(F.substring(F.md5(s), 1, 12), 16, 10)
+                   .cast("decimal(38,0)")) % 2147483647)
+            .cast("long").alias("fingerprint"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_CDC_FINGERPRINT = """
+WITH ranked AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, round(value, 6) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+  FROM events),
+state AS (
+  SELECT user_id, event_type, value
+  FROM ranked WHERE rn = 1 AND op <> 'D'),
+h AS (
+  SELECT ('0x' || substr(md5(
+           CAST(user_id AS VARCHAR) || '|' || event_type || '|'
+           || CAST(CAST(round(value * 1000000, 0) AS BIGINT) AS VARCHAR)
+         ), 1, 12))::BIGINT AS hv
+  FROM state)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(hv) % 2147483647 AS BIGINT) AS fingerprint
+FROM h
+"""
+
+
 def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics through the two-stage SALTED reduce path (hot-key
     handling) — must be value-identical to the plain path/oracle."""
@@ -1803,6 +2033,10 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "cdc_changelog": q_cdc_changelog,
     "cdc_changelog_mor": q_cdc_changelog_mor,
+    "cdc_time_travel": q_cdc_time_travel,
+    "cdc_point_lookup_mor": q_cdc_point_lookup_mor,
+    "cdc_sync_downstream": q_cdc_sync_downstream,
+    "cdc_table_fingerprint": q_cdc_table_fingerprint,
     "plan_watermark_ranges": q_plan_watermark_ranges,
     "plan_time_watermark_daily": q_time_partition_daily,
     "plan_time_watermark_hourly": q_time_partition_hourly,
@@ -1855,6 +2089,12 @@ def oracle_sqls() -> dict[str, str]:
         "events_asof_join": SQL_ASOF_JOIN,
         "cdc_changelog": SQL_CDC_CHANGELOG,
         "cdc_changelog_mor": SQL_CDC_CHANGELOG,  # same semantics, MOR path
+        "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
+        "cdc_point_lookup_mor": SQL_CDC_POINT_LOOKUP,  # same keys, MOR path
+        # downstream replay of shipped changelogs must equal the upstream
+        # full-replay visible state — that equality IS the sync property
+        "cdc_sync_downstream": SQL_CDC_VISIBLE_STATE,
+        "cdc_table_fingerprint": SQL_CDC_FINGERPRINT,
         "plan_watermark_ranges": SQL_PLAN_WATERMARK,
         "plan_time_watermark_daily": SQL_TIME_PARTITION_DAILY,
         "plan_time_watermark_hourly": SQL_TIME_PARTITION_HOURLY,
