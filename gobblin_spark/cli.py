@@ -369,6 +369,42 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_fingerprint(args) -> int:
+    """Order-independent content fingerprint of the visible table state
+    (merge.table_fingerprint) — the replay-convergence verification the
+    north-star criterion names: replaying the same stream into two tables
+    (any batch split, any crash/retry history) must fingerprint-match."""
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import table_fingerprint
+
+    _resolve_table(args)
+    spark = _get_session(args)
+    table = LakeTable(spark, args.table)
+    out = table_fingerprint(
+        table, version=args.version or None, algo=args.algo)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """Compare the visible state of two tables (or two versions of one
+    table) by content fingerprint; exit 0 on match, 2 on mismatch."""
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import table_fingerprint
+
+    _resolve_table(args)
+    spark = _get_session(args)
+    a = table_fingerprint(LakeTable(spark, args.table),
+                          version=args.version or None, algo=args.algo)
+    b = table_fingerprint(LakeTable(spark, args.other),
+                          version=args.other_version or None, algo=args.algo)
+    match = (a["rows"] == b["rows"]
+             and a["fingerprint"] == b["fingerprint"]
+             and a["columns"] == b["columns"])
+    print(json.dumps({"match": match, "left": a, "right": b}))
+    return 0 if match else 2
+
+
 def cmd_pull(args) -> int:
     """Query-based incremental pull: watermark-partitioned pushdown
     predicates against an external JDBC table, composed with the CDC batch
@@ -820,6 +856,34 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--salt-buckets", type=int, default=0)
     cp.add_argument("--local-cores", type=int, default=0)
 
+    fp = sub.add_parser(
+        "fingerprint",
+        help="order-independent content fingerprint of the visible table "
+             "state (replay-convergence verification)",
+    )
+    fp.add_argument("--table", required=True,
+                    help="LakeTable root, or a catalog NAME with --catalog")
+    fp.add_argument("--catalog", default="")
+    fp.add_argument("--version", type=int, default=0,
+                    help="snapshot version (default: current)")
+    fp.add_argument("--algo", choices=["sha256", "xxhash64"],
+                    default="sha256")
+    fp.add_argument("--local-cores", type=int, default=0)
+
+    vf = sub.add_parser(
+        "verify",
+        help="compare two tables (or two versions) by content fingerprint; "
+             "exit 0 on match, 2 on mismatch",
+    )
+    vf.add_argument("--table", required=True)
+    vf.add_argument("--catalog", default="")
+    vf.add_argument("--other", required=True, help="second table root")
+    vf.add_argument("--version", type=int, default=0)
+    vf.add_argument("--other-version", type=int, default=0)
+    vf.add_argument("--algo", choices=["sha256", "xxhash64"],
+                    default="sha256")
+    vf.add_argument("--local-cores", type=int, default=0)
+
     vac = sub.add_parser("vacuum", help="remove orphaned data files")
     vac.add_argument("--table", required=True)
     vac.add_argument("--local-cores", type=int, default=0)
@@ -966,6 +1030,7 @@ def main(argv: list[str] | None = None) -> int:
             "tail": cmd_tail, "pull": cmd_pull,
             "status": cmd_status, "metrics": cmd_metrics,
             "compact": cmd_compact,
+            "fingerprint": cmd_fingerprint, "verify": cmd_verify,
             "vacuum": cmd_vacuum, "dedup": cmd_dedup,
             "changes": cmd_changes, "expire": cmd_expire,
             "history": cmd_history, "rollback": cmd_rollback,
