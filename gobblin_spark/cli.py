@@ -369,6 +369,25 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_rescale(args) -> int:
+    """Grow the table's bucket spec (metadata-only, O(1) at any size; no
+    Spark needed). Existing files stay valid under their recorded spec;
+    normal compaction churn migrates them to the new spec."""
+    from gobblin_spark.lakehouse import LakeTable
+
+    _resolve_table(args)
+    table = LakeTable(None, args.table)
+    before = table.snapshot()
+    snap = table.rescale_buckets(args.to_buckets)
+    print(json.dumps({
+        "from_buckets": before.n_buckets,
+        "to_buckets": snap.n_buckets,
+        "new_version": snap.version,
+        "files": len(snap.files),
+    }))
+    return 0
+
+
 def cmd_fingerprint(args) -> int:
     """Order-independent content fingerprint of the visible table state
     (merge.table_fingerprint) — the replay-convergence verification the
@@ -856,6 +875,16 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--salt-buckets", type=int, default=0)
     cp.add_argument("--local-cores", type=int, default=0)
 
+    rs = sub.add_parser(
+        "rescale",
+        help="grow the bucket spec (metadata-only; integer multiple of "
+             "the current spec; no Spark needed)",
+    )
+    rs.add_argument("--table", required=True,
+                    help="LakeTable root, or a catalog NAME with --catalog")
+    rs.add_argument("--catalog", default="")
+    rs.add_argument("--to-buckets", type=int, required=True)
+
     fp = sub.add_parser(
         "fingerprint",
         help="order-independent content fingerprint of the visible table "
@@ -1031,6 +1060,7 @@ def main(argv: list[str] | None = None) -> int:
             "status": cmd_status, "metrics": cmd_metrics,
             "compact": cmd_compact,
             "fingerprint": cmd_fingerprint, "verify": cmd_verify,
+            "rescale": cmd_rescale,
             "vacuum": cmd_vacuum, "dedup": cmd_dedup,
             "changes": cmd_changes, "expire": cmd_expire,
             "history": cmd_history, "rollback": cmd_rollback,

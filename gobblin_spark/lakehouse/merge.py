@@ -46,6 +46,8 @@ from gobblin_spark.lakehouse.table import (
     LakeTable,
     Snapshot,
     bucket_expr,
+    file_spec_n,
+    mapped_buckets,
 )
 
 # System columns stored in the target table.
@@ -402,8 +404,18 @@ def merge_lww(
 
     # 2. Bucket pruning: which table buckets do batch keys hash into?
     # (distinct over a hash expr on the raw batch — no reduce, O(B) result)
+    # Residue-mapped across bucket-spec evolution: a pre-rescale file is
+    # affected when any affected current-spec bucket ≡ its bucket (mod its
+    # spec); its untouched sibling keys just pass through the fold and get
+    # rewritten under the current spec (progressive migration).
     affected = table.buckets_of(batch)
-    keep = [f for f in snap.files if f.bucket not in affected]
+    res: dict[int, set[int]] = {}
+    def _affected(f) -> bool:
+        s = file_spec_n(f, snap)
+        if s not in res:
+            res[s] = {b % s for b in affected}
+        return f.bucket in res[s]
+    keep = [f for f in snap.files if not _affected(f)]
     target_subset = table.read(buckets=affected)
 
     # 3. Union + ONE LWW reduce (tombstones included on both sides; partial
@@ -544,7 +556,16 @@ def _rebase_rewrite(
     METADATA-ONLY — cur's files minus that bucket's consumed inputs plus
     its rewrite outputs (files of the bucket the rewrite did NOT consume
     are kept); invalid buckets are the caller's to re-fold. Returns
-    (new snapshot or None, buckets landed)."""
+    (new snapshot or None, buckets landed).
+
+    Mixed bucket specs are NOT rebased: while a rescale migration is in
+    flight, bucket ids of pre-rescale files live in a different modulus
+    space, so the per-bucket file-set equality below would compare apples
+    to oranges — the caller re-folds from the fresh snapshot instead
+    (correct, just less salvage during the transitional window)."""
+    if any(file_spec_n(f, base) != base.n_buckets
+           for f in list(consumed) + list(base.files)):
+        return None, set()
     consumed_by_bucket: dict[int, set[str]] = {}
     for f in consumed:
         consumed_by_bucket.setdefault(f.bucket, set()).add(f.path)
@@ -602,11 +623,17 @@ def hot_buckets(snap: Snapshot, delta_ratio: float) -> set[int]:
     hash bucket): a hot bucket compacts WITHOUT rewriting cold ones, so
     skewed write patterns (one tenant/repo churning) pay O(hot bucket),
     not O(table), per compaction cycle."""
-    delta: dict[int, int] = {}
-    base: dict[int, int] = {}
+    delta: dict[int, float] = {}
+    base: dict[int, float] = {}
     for f in snap.files:
         d = delta if not f.reduced else base
-        d[f.bucket] = d.get(f.bucket, 0) + f.rows
+        # residue-mapped across bucket-spec evolution: a pre-rescale file
+        # spans several current buckets — split its rows evenly across
+        # them (an estimate; exact per-bucket counts would need a scan)
+        m = mapped_buckets(f, snap)
+        share = f.rows / len(m)
+        for b in m:
+            d[b] = d.get(b, 0.0) + share
     return {
         b for b, rows in delta.items()
         if rows > 0 and (base.get(b, 0) == 0
@@ -659,12 +686,18 @@ def compact(
         snap = table.snapshot()
         if int(snap.properties.get("mor_deltas", 0)) == 0:
             return snap
+        # Current-spec bucket occupancy, residue-mapped across bucket-spec
+        # evolution: a pre-rescale file counts into every current bucket it
+        # can hold keys for.
         per_bucket: dict[int, int] = {}
         unreduced: set[int] = set()
+        mapped: dict[str, range] = {}
         for f in snap.files:
-            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
-            if not f.reduced:
-                unreduced.add(f.bucket)
+            mapped[f.path] = mapped_buckets(f, snap)
+            for b in mapped[f.path]:
+                per_bucket[b] = per_bucket.get(b, 0) + 1
+                if not f.reduced:
+                    unreduced.add(b)
         # a bucket needs folding when files can conflict on a key: ≥2
         # files, or a single raw-append delta (not guaranteed
         # one-row-per-key internally)
@@ -674,6 +707,19 @@ def compact(
         need_fold = set(target_buckets)
         if buckets is not None:
             target_buckets &= buckets
+        # CLOSURE under spec mapping: a pre-rescale file straddling the
+        # target boundary must be consumed exactly once, so every current
+        # bucket it covers joins the fold (its whole key range is rewritten
+        # under the current spec — this is how rescale migration happens).
+        while True:
+            grown = set(target_buckets)
+            for f in snap.files:
+                m = mapped[f.path]
+                if len(m) > 1 and any(b in target_buckets for b in m):
+                    grown.update(m)
+            if grown == target_buckets:
+                break
+            target_buckets = grown
         if not target_buckets:
             props = dict(properties or {})
             props["mor_deltas"] = int(bool(need_fold))
@@ -684,7 +730,8 @@ def compact(
             except ConcurrentCommitError as exc:
                 last_exc = exc
                 continue  # metadata-only: replan from the winner, cheap
-        keep = [f for f in snap.files if f.bucket not in target_buckets]
+        keep = [f for f in snap.files
+                if not any(b in target_buckets for b in mapped[f.path])]
         # pinned read: fold exactly the snapshot the commit will validate
         # against, never files a concurrent commit lands mid-job
         df = table.read(snap.version, buckets=target_buckets)
@@ -704,7 +751,7 @@ def compact(
         # deltas remain only if a bucket subset was explicitly requested
         # and some conflict-prone bucket was left unfolded
         props["mor_deltas"] = 0 if buckets is None else int(
-            any(f.bucket in need_fold for f in keep)
+            any(any(b in need_fold for b in mapped[f.path]) for f in keep)
         )
         try:
             return table.commit(
@@ -715,7 +762,8 @@ def compact(
             )
         except ConcurrentCommitError as exc:
             last_exc = exc
-            consumed = [f for f in snap.files if f.bucket in target_buckets]
+            consumed = [f for f in snap.files
+                        if any(b in target_buckets for b in mapped[f.path])]
             rebased, landed = _rebase_rewrite(
                 table, snap, consumed, new_files, props)
             _discard_files(
@@ -891,20 +939,48 @@ def table_changes(
         )
     keys = snap_new.merge_keys
 
-    by_bucket_old: dict[int, set[str]] = {}
-    for f in snap_old.files:
-        by_bucket_old.setdefault(f.bucket, set()).add(f.path)
-    by_bucket_new: dict[int, set[str]] = {}
-    for f in snap_new.files:
-        by_bucket_new.setdefault(f.bucket, set()).add(f.path)
-    changed = {
-        b
-        for b in set(by_bucket_old) | set(by_bucket_new)
-        if by_bucket_old.get(b, set()) != by_bucket_new.get(b, set())
-    }
+    # Diff unit = a bucket of the NEW snapshot's spec, with every file on
+    # either side residue-mapped into the units it can hold keys for —
+    # exact across bucket-spec evolution (rescale itself is metadata-only:
+    # identical file sets per unit ⇒ empty diff). If any file's spec does
+    # not divide the unit modulus (possible only after a rollback across a
+    # rescale), pruning is abandoned: every unit is treated as changed —
+    # a correct superset, just unpruned.
+    unit_n = snap_new.n_buckets
+    dividable = all(
+        unit_n % file_spec_n(f, s) == 0
+        for s in (snap_old, snap_new) for f in s.files
+    )
+
+    def _by_unit(snap: Snapshot) -> dict[int, set[str]]:
+        out: dict[int, set[str]] = {}
+        for f in snap.files:
+            s = file_spec_n(f, snap)
+            for b in range(f.bucket % s, unit_n, s):
+                out.setdefault(b, set()).add(f.path)
+        return out
+
+    if dividable:
+        by_bucket_old = _by_unit(snap_old)
+        by_bucket_new = _by_unit(snap_new)
+        changed = {
+            b
+            for b in set(by_bucket_old) | set(by_bucket_new)
+            if by_bucket_old.get(b, set()) != by_bucket_new.get(b, set())
+        }
+    else:
+        changed = set(range(unit_n))
 
     def _state(snap: Snapshot) -> DataFrame:
-        files = [f for f in snap.files if f.bucket in changed]
+        if dividable:
+            files = [
+                f for f in snap.files
+                if any(b in changed for b in range(
+                    f.bucket % file_spec_n(f, snap), unit_n,
+                    file_spec_n(f, snap)))
+            ]
+        else:
+            files = list(snap.files)
         df = table.read_file_set(files, snap_new)  # conform to NEW schema
         return stored_reduce(snap_new, df, keys)
 

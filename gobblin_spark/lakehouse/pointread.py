@@ -30,6 +30,7 @@ import os
 from typing import Any
 
 from gobblin_spark.lakehouse.table import LakeTable
+from gobblin_spark.lakehouse.table import file_spec_n as _spec_of
 
 # --------------------------------------------------------------- xxhash64
 # Python port of Spark's XxHash64 expression (seed chained across columns,
@@ -202,7 +203,7 @@ def point_lookup_local(
                    snap.bucket_cols])
     keys = snap.merge_keys
     cand = [f for f in snap.files
-            if f.bucket == bucket and not _bounds_exclude(
+            if f.bucket == bucket % _spec_of(f, snap) and not _bounds_exclude(
                 f, {k: key[k] for k in keys if k in key})]
     if not cand:
         return None

@@ -93,6 +93,13 @@ class DataFile:
     # narrow range) without reading them. ≙ Iceberg manifest-entry
     # lower_bounds/upper_bounds data skipping.
     key_bounds: dict[str, list] | None = None
+    # Bucket-spec evolution (≙ Iceberg partition-spec evolution for
+    # bucket[N] transforms): the modulus this file's ``bucket`` was
+    # computed under. None = the spec in force before the table's FIRST
+    # rescale (Snapshot.legacy_spec_n), which equals n_buckets on a table
+    # that never rescaled. Reads map current-spec bucket b onto this
+    # file via b % spec_n (exact, because rescale only multiplies).
+    spec_n: int | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -107,6 +114,7 @@ class DataFile:
             "partition": self.partition,
             "reduced": self.reduced,
             "key_bounds": self.key_bounds,
+            "spec_n": self.spec_n,
         }
 
     @staticmethod
@@ -220,6 +228,26 @@ class Snapshot:
             shard_refs=d.get("shards"),
             files=[DataFile.from_json(f) for f in d.get("files", [])],
         )
+
+
+def file_spec_n(f: DataFile, snap: Snapshot) -> int:
+    """The bucket modulus ``f.bucket`` was computed under. Explicit on every
+    file written after the table's first rescale; None means the pre-rescale
+    spec (snapshot property ``legacy_spec_n``, set once at the first
+    rescale), which is n_buckets itself on a never-rescaled table."""
+    if f.spec_n:
+        return f.spec_n
+    return int(snap.properties.get("legacy_spec_n", 0)) or snap.n_buckets
+
+
+def mapped_buckets(f: DataFile, snap: Snapshot) -> range:
+    """The CURRENT-spec buckets this file's keys can fall into. A file
+    written under spec s holds keys with hash ≡ f.bucket (mod s); under the
+    current spec n (a multiple of s) those keys land in the n/s buckets
+    congruent to f.bucket mod s. Current-spec files map to exactly
+    themselves."""
+    s = file_spec_n(f, snap)
+    return range(f.bucket % s, snap.n_buckets, s)
 
 
 def bucket_expr(bucket_cols: list[str], n_buckets: int):
@@ -408,6 +436,7 @@ class LakeTable:
         schema_version: int | None = None,
         schema_log_append: list[dict[str, Any]] | None = None,
         expected_version: int | None = None,
+        n_buckets: int | None = None,
     ) -> Snapshot:
         """Commit a new snapshot: keep_files + add_files become the live set.
 
@@ -415,6 +444,8 @@ class LakeTable:
         advanced since the caller read it, the commit raises instead of
         clobbering (≙ Gobblin's JobLock single-writer guarantee done
         optimistically; FileBasedJobLock.java).
+
+        ``n_buckets`` overrides the bucket spec (rescale_buckets only).
         """
         base = self.snapshot()
         if expected_version is not None and base.version != expected_version:
@@ -433,7 +464,7 @@ class LakeTable:
             schema_json=(schema or base.schema).jsonValue(),
             schema_version=schema_version or base.schema_version,
             schema_log=base.schema_log + (schema_log_append or []),
-            n_buckets=base.n_buckets,
+            n_buckets=n_buckets or base.n_buckets,
             bucket_cols=base.bucket_cols,
             key_cols=base.key_cols,
             partition_spec=base.partition_spec,
@@ -567,12 +598,14 @@ class LakeTable:
         )
         return self._index_written_files(out_dir, write_id, sv, seq_col,
                                          reduced=reduced,
-                                         key_cols=snap.key_cols)
+                                         key_cols=snap.key_cols,
+                                         spec_n=snap.n_buckets)
 
     def _index_written_files(
         self, out_dir: str, write_id: str, schema_version: int,
         seq_col: str | None, reduced: bool = True,
         key_cols: list[str] | None = None,
+        spec_n: int | None = None,
     ) -> list[DataFile]:
         """Build DataFile entries EXECUTOR-SIDE: one distributed,
         column-pruned scan over the freshly written files, grouped by the
@@ -668,6 +701,7 @@ class LakeTable:
                     for kc in bound_cols
                     if r[f"__kmin_{kc}"] is not None
                 } or None) if bound_cols else None,
+                spec_n=spec_n,
             ))
         return out
 
@@ -772,7 +806,17 @@ class LakeTable:
         snap = self.snapshot(version)
         files = snap.files
         if buckets is not None:
-            files = [f for f in files if f.bucket in buckets]
+            # residue-mapped across bucket-spec evolution: a file written
+            # under spec s can hold current-bucket b iff f.bucket == b % s.
+            # Residue sets are computed once per distinct spec (O(specs ×
+            # |buckets| + files), never O(files × |buckets|)).
+            res: dict[int, set[int]] = {}
+            def _hit(f: DataFile) -> bool:
+                s = file_spec_n(f, snap)
+                if s not in res:
+                    res[s] = {b % s for b in buckets}
+                return f.bucket in res[s]
+            files = [f for f in files if _hit(f)]
         if seq_range is not None:
             lo, hi = seq_range
             files = [
@@ -876,6 +920,50 @@ class LakeTable:
         for v in expired:
             self.fs.remove(self._manifest_path(v))
         return expired
+
+    def rescale_buckets(self, new_n: int) -> Snapshot:
+        """Grow the bucket spec to ``new_n`` (an integer multiple of the
+        current spec) — METADATA-ONLY, O(1) commit at any table size.
+
+        Why it must exist at 100 TB: the bucket count fixed at create time
+        bounds merge/compaction parallelism and file sizes; a table that
+        grows 100× needs more buckets, and a full rewrite to get them would
+        be an O(table) outage. Here (≙ Iceberg partition-spec evolution for
+        bucket[N] transforms):
+
+        - existing files keep their recorded bucket under their OLD spec;
+          the snapshot records ``legacy_spec_n`` once so None-spec files
+          stay interpretable, and every later write records its spec
+          explicitly;
+        - reads map current-spec bucket b onto an old file via
+          b % old_spec — exact pruning, never a superset miss, because
+          new_n is a multiple of every spec ever in force;
+        - writes (merges, deltas, compaction rewrites) immediately use the
+          new spec, so normal compaction churn migrates the table
+          file-by-file with zero dedicated rewrite jobs.
+
+        Only growth by an integer factor is allowed: a non-multiple (or a
+        shrink) would break the residue mapping and with it every bucket
+        prune on pre-rescale files."""
+        snap = self.snapshot()
+        if new_n == snap.n_buckets:
+            return snap
+        if new_n <= 0 or new_n % snap.n_buckets != 0:
+            raise ValueError(
+                f"rescale to {new_n}: must be a positive integer multiple "
+                f"of the current spec {snap.n_buckets} (residue-mapped "
+                f"pruning on existing files requires divisibility)")
+        props = {
+            "legacy_spec_n": int(
+                snap.properties.get("legacy_spec_n", 0)) or snap.n_buckets,
+        }
+        return self.commit(
+            keep_files=snap.files,
+            add_files=[],
+            properties=props,
+            expected_version=snap.version,
+            n_buckets=new_n,
+        )
 
     def rollback(self, to_version: int) -> Snapshot:
         """Restore a previous snapshot's state as a NEW commit (≙ Iceberg
