@@ -683,6 +683,38 @@ FROM h
 """
 
 
+def q_cdc_rescale_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-spec evolution end-to-end: half the stream into a 4-bucket
+    table, metadata-only rescale to 16, rest of the stream as MOR deltas
+    (new spec), then compact — reads residue-map current buckets onto
+    pre-rescale files throughout, and the final visible state must equal
+    the full-replay oracle exactly."""
+    import shutil
+    import tempfile
+
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import (
+        compact, merge_lww, merge_lww_mor, read_current,
+    )
+
+    stream = _event_cdc_stream(spark, sf_dir)
+    w1 = stream.agg(F.floor(F.max("seq") / 2).cast("long")).first()[0]
+    d = tempfile.mkdtemp(prefix="gs_rescale_")
+    try:
+        t = LakeTable.create(spark, f"{d}/table", _event_table_schema(),
+                             ["user_id"], n_buckets=4)
+        merge_lww(t, stream.filter(F.col("seq") <= w1), ["user_id"])
+        t.rescale_buckets(16)
+        merge_lww_mor(t, stream.filter(F.col("seq") > w1), ["user_id"])
+        compact(t)
+        out = (read_current(t)
+               .select("user_id", "event_type", "value")
+               .orderBy("user_id"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics through the two-stage SALTED reduce path (hot-key
     handling) — must be value-identical to the plain path/oracle."""
@@ -2037,6 +2069,7 @@ QUERIES = {
     "cdc_point_lookup_mor": q_cdc_point_lookup_mor,
     "cdc_sync_downstream": q_cdc_sync_downstream,
     "cdc_table_fingerprint": q_cdc_table_fingerprint,
+    "cdc_rescale_final_state": q_cdc_rescale_final_state,
     "plan_watermark_ranges": q_plan_watermark_ranges,
     "plan_time_watermark_daily": q_time_partition_daily,
     "plan_time_watermark_hourly": q_time_partition_hourly,
@@ -2095,6 +2128,9 @@ def oracle_sqls() -> dict[str, str]:
         # full-replay visible state — that equality IS the sync property
         "cdc_sync_downstream": SQL_CDC_VISIBLE_STATE,
         "cdc_table_fingerprint": SQL_CDC_FINGERPRINT,
+        # mid-stream bucket rescale must leave the final state identical
+        # to the plain full replay — that invariance IS the property
+        "cdc_rescale_final_state": SQL_CDC_VISIBLE_STATE,
         "plan_watermark_ranges": SQL_PLAN_WATERMARK,
         "plan_time_watermark_daily": SQL_TIME_PARTITION_DAILY,
         "plan_time_watermark_hourly": SQL_TIME_PARTITION_HOURLY,
