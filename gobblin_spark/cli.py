@@ -98,6 +98,7 @@ def cmd_ingest(args) -> int:
         max_records_per_unit=args.max_records_per_unit,
         salt_buckets=args.salt_buckets,
         n_buckets=args.buckets,
+        stats_cols=args.stats_cols or None,
         merge_mode=args.merge_mode,
         merge_dialect=args.merge_dialect,
         compact_every=args.compact_every,
@@ -459,6 +460,31 @@ def cmd_pull(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export the visible table state (optionally filtered) to a format
+    sink. ``--where col=value`` uses manifest value-stats blooms to skip
+    non-matching files at planning time on compacted tables."""
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import read_current
+    from gobblin_spark.sinks import write_files
+
+    _resolve_table(args)
+    spark = _get_session(args)
+    table = LakeTable(spark, args.table)
+    where = dict(kv.split("=", 1) for kv in (args.where or []))
+    df = read_current(table, version=args.version or None,
+                      value_eq=where or None)
+    import pyspark.sql.functions as F
+    from pyspark.sql.observation import Observation
+
+    obs = Observation("export")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    write_files(df, args.out, fmt=args.format)
+    print(json.dumps({"rows": int(obs.get["n"]), "out": args.out,
+                      "where": where or None}))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     from gobblin_spark.lakehouse import LakeTable
 
@@ -735,6 +761,10 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--salt-buckets", type=int, default=8)
     ing.add_argument("--buckets", type=int, default=32,
                      help="hash buckets of a newly created target table")
+    ing.add_argument("--stats-cols", action="append", default=[],
+                     help="record value-stats blooms for this column on a "
+                          "newly created table (repeatable) — enables "
+                          "export --where file skipping")
     ing.add_argument("--max-batches", type=int, default=1000)
     ing.add_argument("--merge-dialect", choices=["row", "column", "cell"],
                      default="row", help="'column' = patch semantics: null "
@@ -913,6 +943,24 @@ def main(argv: list[str] | None = None) -> int:
                     default="sha256")
     vf.add_argument("--local-cores", type=int, default=0)
 
+    xp = sub.add_parser(
+        "export",
+        help="export the visible table state (optionally filtered via "
+             "value-stats file skipping) to a format sink",
+    )
+    xp.add_argument("--table", required=True,
+                    help="LakeTable root, or a catalog NAME with --catalog")
+    xp.add_argument("--catalog", default="")
+    xp.add_argument("--out", required=True)
+    xp.add_argument("--format", default="parquet",
+                    choices=["parquet", "orc", "json", "csv", "text",
+                             "avro"])
+    xp.add_argument("--version", type=int, default=0)
+    xp.add_argument("--where", action="append", default=[],
+                    help="equality predicate col=value (repeatable; "
+                         "string-typed comparison)")
+    xp.add_argument("--local-cores", type=int, default=0)
+
     vac = sub.add_parser("vacuum", help="remove orphaned data files")
     vac.add_argument("--table", required=True)
     vac.add_argument("--local-cores", type=int, default=0)
@@ -1060,7 +1108,7 @@ def main(argv: list[str] | None = None) -> int:
             "status": cmd_status, "metrics": cmd_metrics,
             "compact": cmd_compact,
             "fingerprint": cmd_fingerprint, "verify": cmd_verify,
-            "rescale": cmd_rescale,
+            "rescale": cmd_rescale, "export": cmd_export,
             "vacuum": cmd_vacuum, "dedup": cmd_dedup,
             "changes": cmd_changes, "expire": cmd_expire,
             "history": cmd_history, "rollback": cmd_rollback,

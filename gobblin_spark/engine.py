@@ -194,6 +194,7 @@ class CdcEngine:
         delta_distribution: str = "cluster",
         log_keep_last: int | None = 64,
         fs=None,
+        stats_cols: list[str] | None = None,
     ):
         """merge_mode: 'cow' rewrites affected buckets per batch (zero read
         amplification); 'mor' appends delta files per batch and compacts
@@ -273,6 +274,7 @@ class CdcEngine:
                             "merge_dialect": merge_dialect},
                 key_cols=KEYS,
                 fs=fs,
+                stats_cols=stats_cols,
             )
 
     # ------------------------------------------------------------------ api

@@ -778,17 +778,37 @@ def compact(
     raise last_exc  # type: ignore[misc]
 
 
-def read_current(table: LakeTable, version: int | None = None) -> DataFrame:
+def read_current(
+    table: LakeTable,
+    version: int | None = None,
+    value_eq: dict[str, Any] | None = None,
+) -> DataFrame:
     """The visible (non-tombstone) state of a CDC target table. For a table
     with outstanding MOR deltas, resolves LWW across base+delta files first
-    (merge-on-read)."""
-    df = table.read(version)
+    (merge-on-read).
+
+    ``value_eq``: equality predicate on configured stats columns. On a
+    compacted table (no outstanding deltas: one stored row per key) the
+    value-stats blooms skip non-matching FILES at planning time — a
+    secondary-predicate scan reads O(matching files), not O(table). With
+    unresolved deltas file-level skipping before LWW resolution would be
+    UNSOUND (a key's winning row may live in a file the predicate
+    excludes, resurrecting an older matching row), so the read falls back
+    to the full resolve and filters rows only. Either way the row filter
+    is always applied (blooms are approximate)."""
     snap = table.snapshot(version)
-    if int(snap.properties.get("mor_deltas", 0)) > 0:
+    deltas = int(snap.properties.get("mor_deltas", 0)) > 0
+    df = table.read(version,
+                    value_eq=value_eq if not deltas else None)
+    if deltas:
         df = stored_reduce(snap, df, snap.merge_keys)
     if DELETED_COL in df.columns:
         df = (df.filter(~F.col(DELETED_COL))
                 .drop(DELETED_COL, SEQ_COL, CELLS_COL, DELSEQ_COL))
+    if value_eq:
+        for c, v in value_eq.items():
+            df = df.filter(F.col(c).isNull() if v is None
+                           else (F.col(c) == F.lit(v)))
     return df
 
 

@@ -100,6 +100,13 @@ class DataFile:
     # that never rescaled. Reads map current-spec bucket b onto this
     # file via b % spec_n (exact, because rescale only multiplies).
     spec_n: int | None = None
+    # Secondary-predicate skipping (≙ parquet column-index / Iceberg
+    # bloom write option, lifted to the MANIFEST so planning skips whole
+    # files without opening a footer): per configured non-key column, a
+    # small bloom filter of the file's values — {"m": bits, "b": base64
+    # bitmap}. Built executor-side in the same stats pass as key_bounds.
+    # None/missing column = unknown → never pruned on (sound superset).
+    value_stats: dict[str, dict] | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -115,6 +122,7 @@ class DataFile:
             "reduced": self.reduced,
             "key_bounds": self.key_bounds,
             "spec_n": self.spec_n,
+            "value_stats": self.value_stats,
         }
 
     @staticmethod
@@ -250,6 +258,46 @@ def mapped_buckets(f: DataFile, snap: Snapshot) -> range:
     return range(f.bucket % s, snap.n_buckets, s)
 
 
+# ------------------------------------------------------- value-stats bloom
+# k=2 double-probe bloom over xxhash64: position 1 = pmod(h, m), position 2
+# = pmod(h >>> 17, m). Both derivations exist bit-exactly in Spark SQL
+# (executor-side build) and in the Python xxhash64 port (driver-side probe,
+# pointread.py) — no UDF on either side.
+
+def bloom_position_exprs(col: str, m: int) -> list[str]:
+    """Spark SQL expressions yielding the two bloom positions of a column
+    value (stay inside whole-stage codegen)."""
+    return [
+        f"pmod(xxhash64(`{col}`), {int(m)})",
+        f"pmod(shiftrightunsigned(xxhash64(`{col}`), 17), {int(m)})",
+    ]
+
+
+def bloom_positions_py(value: Any, m: int, int_size: int = 64) -> list[int]:
+    """Driver-side twin of bloom_position_exprs for one probe value."""
+    from gobblin_spark.lakehouse.pointread import xxhash64
+
+    h = xxhash64([value], int_sizes=[int_size])
+    return [((h % m) + m) % m, ((h & ((1 << 64) - 1)) >> 17) % m]
+
+
+def bloom_build(positions: Iterable[int], m: int) -> str:
+    """base64 bitmap with the given bit positions set."""
+    import base64
+
+    bits = bytearray(m // 8)
+    for p in positions:
+        bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def bloom_may_contain(b64: str, positions: list[int]) -> bool:
+    import base64
+
+    bits = base64.b64decode(b64)
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
+
+
 def bucket_expr(bucket_cols: list[str], n_buckets: int):
     """Deterministic bucket id for a row: pmod(xxhash64(key...), B).
 
@@ -296,6 +344,8 @@ class LakeTable:
         key_cols: list[str] | None = None,
         partition_spec: dict[str, str] | None = None,
         fs: CommitFs | None = None,
+        stats_cols: list[str] | None = None,
+        stats_bloom_bits: int = 8192,
     ) -> "LakeTable":
         """key_cols: the LWW merge primary keys; defaults to bucket_cols.
         bucket_cols MUST be a subset of key_cols — the bucket hash must be a
@@ -317,6 +367,17 @@ class LakeTable:
             raise ValueError(
                 f"bucket_cols {bucket_cols} must be a subset of key_cols {keys}"
             )
+        props = dict(properties or {})
+        if stats_cols:
+            names = {f.name for f in schema.fields}
+            bad = [c for c in stats_cols if c not in names]
+            if bad:
+                raise ValueError(f"stats_cols not in schema: {bad}")
+            if stats_bloom_bits % 8 or stats_bloom_bits <= 0:
+                raise ValueError("stats_bloom_bits must be a positive "
+                                 "multiple of 8")
+            props["value_stats_cols"] = list(stats_cols)
+            props["value_stats_m"] = int(stats_bloom_bits)
         t = LakeTable(spark, root, fs=fs)
         t.fs.makedirs(t._meta_dir)
         t.fs.makedirs(os.path.join(root, _DATA))
@@ -330,7 +391,7 @@ class LakeTable:
             key_cols=keys,
             partition_spec=partition_spec,
             files=[],
-            properties=properties or {},
+            properties=props,
             timestamp_ms=int(time.time() * 1000),
         )
         t._publish_manifest(snap)
@@ -596,16 +657,22 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
-        return self._index_written_files(out_dir, write_id, sv, seq_col,
-                                         reduced=reduced,
-                                         key_cols=snap.key_cols,
-                                         spec_n=snap.n_buckets)
+        return self._index_written_files(
+            out_dir, write_id, sv, seq_col,
+            reduced=reduced,
+            key_cols=snap.key_cols,
+            spec_n=snap.n_buckets,
+            value_stats_cols=snap.properties.get("value_stats_cols"),
+            value_stats_m=int(snap.properties.get("value_stats_m", 8192)),
+        )
 
     def _index_written_files(
         self, out_dir: str, write_id: str, schema_version: int,
         seq_col: str | None, reduced: bool = True,
         key_cols: list[str] | None = None,
         spec_n: int | None = None,
+        value_stats_cols: list[str] | None = None,
+        value_stats_m: int = 8192,
     ) -> list[DataFile]:
         """Build DataFile entries EXECUTOR-SIDE: one distributed,
         column-pruned scan over the freshly written files, grouped by the
@@ -675,6 +742,16 @@ class LakeTable:
         for kc in bound_cols:
             aggs += [F.min(kc).alias(f"__kmin_{kc}"),
                      F.max(kc).alias(f"__kmax_{kc}")]
+        # value-stats blooms ride the SAME executor-side stats pass: two
+        # bounded collect_sets of bit positions per configured column
+        # (each ≤ m entries), never the raw values
+        vs_cols = [c for c in (value_stats_cols or []) if c in data_cols]
+        for c in vs_cols:
+            e1, e2 = bloom_position_exprs(c, value_stats_m)
+            aggs += [
+                F.collect_set(F.expr(e1)).alias(f"__vb1_{c}"),
+                F.collect_set(F.expr(e2)).alias(f"__vb2_{c}"),
+            ]
         stats = df.groupBy(*keys).agg(*aggs).collect()
 
         out: list[DataFile] = []
@@ -702,6 +779,15 @@ class LakeTable:
                     if r[f"__kmin_{kc}"] is not None
                 } or None) if bound_cols else None,
                 spec_n=spec_n,
+                value_stats=({
+                    c: {
+                        "m": value_stats_m,
+                        "b": bloom_build(
+                            set(r[f"__vb1_{c}"]) | set(r[f"__vb2_{c}"]),
+                            value_stats_m),
+                    }
+                    for c in vs_cols
+                } or None) if vs_cols else None,
             ))
         return out
 
@@ -788,6 +874,7 @@ class LakeTable:
         partition_range: tuple[str, str] | None = None,
         partitions: set[str] | None = None,
         key_eq: dict[str, Any] | None = None,
+        value_eq: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, with file-level pruning.
 
@@ -802,6 +889,13 @@ class LakeTable:
         key_eq: column → probe value; skip files whose recorded key_bounds
           exclude the value (files without bounds are kept — skipping is
           only ever a sound superset).
+        value_eq: column → probe value; skip files whose value-stats bloom
+          excludes the value (secondary-predicate skipping on the table's
+          configured stats_cols; files without a bloom for the column are
+          kept). NOTE this prunes FILES — on a table with unresolved MOR
+          deltas the caller must not pre-prune before LWW resolution (a
+          key's winner may live in a file the predicate excludes);
+          merge.read_current(value_eq=) applies the sound gate.
         """
         snap = self.snapshot(version)
         files = snap.files
@@ -842,6 +936,38 @@ class LakeTable:
                         return False
                 return True
             files = [f for f in files if may_contain(f)]
+        if value_eq:
+            from gobblin_spark.lakehouse.pointread import _int_size
+            type_by_name = {fl.name: fl.dataType.typeName()
+                            for fl in snap.schema.fields}
+            for c in value_eq:
+                if c not in type_by_name:
+                    raise ValueError(f"value_eq column {c!r} not in schema")
+            # probe positions depend only on (column type, value, m) —
+            # cache per (column, m) across files
+            pos_cache: dict[tuple[str, int], list[int]] = {}
+
+            def _pos(c: str, v: Any, m: int) -> list[int]:
+                k = (c, m)
+                if k not in pos_cache:
+                    pos_cache[k] = bloom_positions_py(
+                        v, m, int_size=_int_size(type_by_name[c]))
+                return pos_cache[k]
+
+            def bloom_hit(f: DataFile) -> bool:
+                if not f.value_stats:
+                    return True
+                for c, v in value_eq.items():
+                    if v is None:
+                        continue  # no sound bloom probe for NULL
+                    ent = f.value_stats.get(c)
+                    if ent is None:
+                        continue
+                    if not bloom_may_contain(
+                            ent["b"], _pos(c, v, int(ent["m"]))):
+                        return False
+                return True
+            files = [f for f in files if bloom_hit(f)]
         return self.read_file_set(files, snap)
 
     def read_file_set(

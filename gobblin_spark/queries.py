@@ -715,6 +715,46 @@ def q_cdc_rescale_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_cdc_secondary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-predicate scan over a compacted CDC table with value-stats
+    blooms on a NON-key column: read_current(value_eq={'event_type': ...})
+    skips non-matching files at planning time (manifest blooms, probed
+    driver-side with the bit-exact Python xxhash64 twin) and must equal the
+    oracle's final-state filter exactly."""
+    import shutil
+    import tempfile
+
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import merge_lww, read_current
+
+    stream = _event_cdc_stream(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="gs_vstats_")
+    try:
+        t = LakeTable.create(spark, f"{d}/table", _event_table_schema(),
+                             ["user_id"], n_buckets=8,
+                             stats_cols=["event_type"])
+        merge_lww(t, stream, ["user_id"])
+        out = (read_current(t, value_eq={"event_type": "click"})
+               .select("user_id", "event_type", "value")
+               .orderBy("user_id"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_CDC_SECONDARY_SCAN = """
+WITH ranked AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, round(value, 6) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+  FROM events)
+SELECT user_id, event_type, value
+FROM ranked WHERE rn = 1 AND op <> 'D' AND event_type = 'click'
+ORDER BY user_id
+"""
+
+
 def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics through the two-stage SALTED reduce path (hot-key
     handling) — must be value-identical to the plain path/oracle."""
@@ -2070,6 +2110,7 @@ QUERIES = {
     "cdc_sync_downstream": q_cdc_sync_downstream,
     "cdc_table_fingerprint": q_cdc_table_fingerprint,
     "cdc_rescale_final_state": q_cdc_rescale_final_state,
+    "cdc_secondary_scan": q_cdc_secondary_scan,
     "plan_watermark_ranges": q_plan_watermark_ranges,
     "plan_time_watermark_daily": q_time_partition_daily,
     "plan_time_watermark_hourly": q_time_partition_hourly,
@@ -2131,6 +2172,7 @@ def oracle_sqls() -> dict[str, str]:
         # mid-stream bucket rescale must leave the final state identical
         # to the plain full replay — that invariance IS the property
         "cdc_rescale_final_state": SQL_CDC_VISIBLE_STATE,
+        "cdc_secondary_scan": SQL_CDC_SECONDARY_SCAN,
         "plan_watermark_ranges": SQL_PLAN_WATERMARK,
         "plan_time_watermark_daily": SQL_TIME_PARTITION_DAILY,
         "plan_time_watermark_hourly": SQL_TIME_PARTITION_HOURLY,

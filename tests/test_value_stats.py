@@ -1,0 +1,171 @@
+"""Secondary-predicate file skipping (DataFile.value_stats blooms):
+manifest-level bloom filters on configured non-key columns, built in the
+same executor-side stats pass as key_bounds, probed driver-side with the
+bit-exact Python xxhash64 twin — a planning-time skip for equality
+predicates Spark's scan could only push to footers after opening them."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gobblin_spark.lakehouse import LakeTable, merge_lww
+from gobblin_spark.lakehouse.merge import (
+    compact,
+    merge_lww_mor,
+    read_current,
+)
+from gobblin_spark.lakehouse.table import (
+    bloom_may_contain,
+    bloom_position_exprs,
+    bloom_positions_py,
+)
+
+SCHEMA = StructType([
+    StructField("repo", StringType()),
+    StructField("path", StringType()),
+    StructField("commit", StringType()),
+    StructField("lang", StringType()),
+    StructField("__seq", LongType()),
+    StructField("__deleted", BooleanType()),
+])
+KEYS = ["repo", "path"]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, ["seq", "op", "repo", "path", "commit", "lang"])
+
+
+def _rows(n, lang="python", commit="c1", start=0):
+    return [(start + i, "U", f"r{i % 10}", f"p{start + i}", commit, lang)
+            for i in range(n)]
+
+
+def _new(spark, root, **kw):
+    kw.setdefault("stats_cols", ["lang"])
+    return LakeTable.create(spark, root, SCHEMA, KEYS, n_buckets=8, **kw)
+
+
+def test_bloom_position_parity_spark_vs_python(spark):
+    """The executor-side position expressions and the driver-side Python
+    probe must agree bit-exactly for every supported type."""
+    m = 8192
+    df = spark.createDataFrame(
+        [("python", 7), ("rust", -3), ("", 2**40), ("zig", 0)],
+        ["s", "i"])
+    for col, int_size in (("s", 64), ("i", 64)):
+        e1, e2 = bloom_position_exprs(col, m)
+        got = df.selectExpr(col, e1 + " AS p1", e2 + " AS p2").collect()
+        for r in got:
+            assert bloom_positions_py(r[col], m, int_size=int_size) == \
+                [r["p1"], r["p2"]]
+
+
+def test_value_eq_skips_files_and_matches_full_filter(spark, tmp_table_dir):
+    t = _new(spark, tmp_table_dir + "/t")
+    # common value everywhere + ONE rare value in one key
+    merge_lww(t, _batch(spark, _rows(400) +
+                        [(9000, "U", "r3", "rare", "c9", "zig")]), KEYS)
+    snap = t.snapshot()
+    assert all(f.value_stats and "lang" in f.value_stats
+               for f in snap.files), "writes must record value_stats"
+
+    counts = []
+    orig = LakeTable.read_file_set
+
+    def spy(self, files, s=None):
+        counts.append(len(files))
+        return orig(self, files, s)
+
+    LakeTable.read_file_set = spy
+    try:
+        rare = read_current(t, value_eq={"lang": "zig"}).collect()
+        n_rare = counts[-1]
+        full = read_current(t).filter(F.col("lang") == "zig").collect()
+        n_full = counts[-1]
+    finally:
+        LakeTable.read_file_set = orig
+    assert sorted(map(tuple, rare)) == sorted(map(tuple, full))
+    assert len(rare) == 1 and rare[0]["path"] == "rare"
+    assert n_rare < n_full, (n_rare, n_full)
+
+    # absent value: every file skipped, result empty (and correct)
+    LakeTable.read_file_set = spy
+    try:
+        assert read_current(t, value_eq={"lang": "cobol"}).count() == 0
+        assert counts[-1] == 0
+    finally:
+        LakeTable.read_file_set = orig
+
+
+def test_value_eq_is_sound_across_unresolved_mor_deltas(
+        spark, tmp_table_dir):
+    """A key updated python→rust in an unfolded delta: pre-fold file
+    skipping would resurrect the python row; the gated read must not."""
+    t = _new(spark, tmp_table_dir + "/t")
+    merge_lww(t, _batch(spark, _rows(50, lang="python")), KEYS)
+    # delta flips ONE key to rust (delta file contains no python rows)
+    merge_lww_mor(t, _batch(
+        spark, [(8000, "U", "r0", "p0", "c2", "rust")]), KEYS)
+
+    py = read_current(t, value_eq={"lang": "python"}).collect()
+    assert all(r["path"] != "p0" for r in py)
+    rs = read_current(t, value_eq={"lang": "rust"}).collect()
+    assert [r["path"] for r in rs] == ["p0"] and rs[0]["commit"] == "c2"
+
+    # compacted: skipping active again, same answers
+    compact(t)
+    assert int(t.snapshot().properties.get("mor_deltas", 0)) == 0
+    py2 = read_current(t, value_eq={"lang": "python"}).collect()
+    assert sorted(map(tuple, py2)) == sorted(map(tuple, py))
+    rs2 = read_current(t, value_eq={"lang": "rust"}).collect()
+    assert sorted(map(tuple, rs2)) == sorted(map(tuple, rs))
+
+
+def test_tables_without_stats_cols_are_never_pruned(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir + "/t", SCHEMA, KEYS,
+                         n_buckets=4)
+    merge_lww(t, _batch(spark, _rows(80)), KEYS)
+    assert all(f.value_stats is None for f in t.snapshot().files)
+    got = read_current(t, value_eq={"lang": "python"}).count()
+    assert got == 80  # row filter applies, no file skipped, no crash
+    with pytest.raises(ValueError, match="not in schema"):
+        read_current(t, value_eq={"nope": 1}).count()
+
+
+def test_stats_cols_validation(spark, tmp_table_dir):
+    with pytest.raises(ValueError, match="stats_cols"):
+        LakeTable.create(spark, tmp_table_dir + "/a", SCHEMA, KEYS,
+                         stats_cols=["nope"])
+    with pytest.raises(ValueError, match="multiple of 8"):
+        LakeTable.create(spark, tmp_table_dir + "/b", SCHEMA, KEYS,
+                         stats_cols=["lang"], stats_bloom_bits=100)
+
+
+def test_bloom_soundness_every_value_in_file_hits(spark, tmp_table_dir):
+    """No false negatives: every value actually present in a file must
+    pass its bloom (the property that makes skipping a sound superset)."""
+    t = _new(spark, tmp_table_dir + "/t")
+    langs = ["python", "rust", "go", "java", "c", None]
+    rows = [(i, "U", f"r{i % 5}", f"p{i}", "c", langs[i % len(langs)])
+            for i in range(120)]
+    merge_lww(t, _batch(spark, rows), KEYS)
+    snap = t.snapshot()
+    for f in snap.files:
+        ent = f.value_stats["lang"]
+        vals = {
+            r["lang"]
+            for r in spark.read.parquet(t.root + "/" + f.path)
+            .select("lang").collect()
+        }
+        for v in vals:
+            if v is None:
+                continue
+            assert bloom_may_contain(
+                ent["b"], bloom_positions_py(v, int(ent["m"])))
