@@ -882,8 +882,8 @@ def point_lookup(
     manifest plus pyarrow row-group stats answer a single-key read in
     milliseconds with zero Spark jobs; the result is wrapped in a local
     DataFrame for an unchanged API. Falls back to the distributed path
-    for patch/cell dialects, schema-version drift, or oversized candidate
-    sets."""
+    (all three merge dialects fold locally) for schema-version drift or
+    oversized candidate sets."""
     snap = table.snapshot(version)
     if prefer_local:
         from gobblin_spark.lakehouse.pointread import (

@@ -13,10 +13,12 @@ the handful of rows in plain Python.
 This is the interactive read an upsert-table consumer expects (≙ a Hive
 consumer of the reference's published tables doing a keyed SELECT;
 StunlockPartitionedHiveDataPublisher.java registers partitions precisely
-so those reads prune). The Spark ``point_lookup`` stays the general path:
-the local read FALLS BACK (returns the ``FALLBACK`` sentinel) for patch
-dialects, schema-version drift, or oversized candidate sets rather than
-re-implementing the full fold semantics driver-side.
+so those reads prune). All three merge dialects resolve locally
+(plain-Python twins of the stored reduces — row LWW, 'column' patch,
+'cell' per-column write seqs). The Spark ``point_lookup`` stays the
+general path: the local read FALLS BACK (returns the ``FALLBACK``
+sentinel) for schema-version drift or oversized candidate sets rather
+than re-implementing schema conformance driver-side.
 
 Scale shape: reads stay O(candidate files within one bucket) — at 100 TB
 with 4096 buckets and key-bounds pruning that is typically 1-3 parquet
@@ -184,13 +186,11 @@ def point_lookup_local(
 ):
     """Resolve one merge key without Spark. Returns the visible row as a
     plain dict, None when the key is absent/deleted, or the FALLBACK
-    sentinel when this path can't answer safely (patch/cell dialect,
-    schema-version drift among candidate files, too many candidates)."""
+    sentinel when this path can't answer safely (schema-version drift
+    among candidate files, too many candidates, unknown dialect)."""
     import pyarrow.parquet as pq
 
     snap = table.snapshot(version)
-    if snap.merge_dialect != "row":
-        return FALLBACK  # patch/cell folds stay on the Spark path
     missing = [k for k in snap.bucket_cols if k not in key]
     if missing:
         raise ValueError(
@@ -215,7 +215,7 @@ def point_lookup_local(
         return FALLBACK
 
     eq = {k: key[k] for k in keys if k in key}
-    best = None
+    matched: list[dict] = []
     for f in cand:
         path = os.path.join(table.root, f.path)
         pf = pq.ParquetFile(path)
@@ -240,12 +240,77 @@ def point_lookup_local(
         if not groups:
             continue
         tbl = pf.read_row_groups(groups)
-        cols = tbl.column_names
         for row in tbl.to_pylist():
             if all(row.get(c) == v for c, v in eq.items()):
-                if best is None or row[_SEQ] > best[_SEQ]:
-                    best = row
-        del cols
-    if best is None or best.get(_DELETED):
+                matched.append(row)
+    if not matched:
         return None
-    return {k: v for k, v in best.items() if k not in _META}
+    fold = {"row": _fold_row, "column": _fold_patch,
+            "cell": _fold_cell}.get(snap.merge_dialect)
+    if fold is None:
+        return FALLBACK
+    payload_cols = [c for c in matched[0] if c not in _META]
+    return fold(matched, payload_cols)
+
+
+# ---------------------------------------------------- local dialect folds
+# Plain-Python twins of merge.py's stored reduces over ONE key's candidate
+# rows (a handful of rows read from pruned row groups). Each mirrors the
+# distributed fold's semantics exactly; duplicates of the same event are
+# byte-identical, so seq ties are content-neutral.
+
+_NEG = -(1 << 62)
+
+
+def _fold_row(rows: list[dict], payload_cols: list[str]):
+    """LWW by (__seq, tombstone-beats-upsert) — twin of lww_reduce over the
+    stored shape (rank: delete 3, live 2)."""
+    def rank(r):
+        return (r[_SEQ], 3 if r.get(_DELETED) else 2)
+    best = max(rows, key=rank)
+    if best.get(_DELETED):
+        return None
+    return {c: best[c] for c in payload_cols}
+
+
+def _fold_patch(rows: list[dict], payload_cols: list[str]):
+    """Twin of patch_reduce_stored ('column' dialect): per-column latest
+    non-null among live rows after the key's last tombstone."""
+    dels = [r[_SEQ] for r in rows if r.get(_DELETED)]
+    last_del = max(dels) if dels else _NEG
+    live = [r for r in rows if not r.get(_DELETED) and r[_SEQ] > last_del]
+    if not live:
+        return None
+    out = {}
+    for c in payload_cols:
+        vals = [(r[_SEQ], r[c]) for r in live if r.get(c) is not None]
+        out[c] = max(vals, key=lambda t: t[0])[1] if vals else None
+    return out
+
+
+def _cells_map(r: dict) -> dict:
+    cells = r.get("__cells") or {}
+    if isinstance(cells, list):  # pyarrow map → list of (k, v) pairs
+        cells = dict(cells)
+    return cells
+
+
+def _fold_cell(rows: list[dict], payload_cols: list[str]):
+    """Twin of cell_reduce_stored: per-column latest CELL seq, cells at or
+    below the key's max delete seq excluded; key live iff any non-tombstone
+    row's __seq exceeds the max delete seq."""
+    dels = [r["__del_seq"] for r in rows if r.get("__del_seq") is not None]
+    last_del = max(dels) if dels else _NEG
+    live = any(not r.get(_DELETED) and r[_SEQ] > last_del for r in rows)
+    if not live:
+        return None
+    out = {}
+    for c in payload_cols:
+        vals = [
+            (cs, r.get(c))
+            for r in rows
+            for cs in [_cells_map(r).get(c)]
+            if cs is not None and cs > last_del
+        ]
+        out[c] = max(vals, key=lambda t: t[0])[1] if vals else None
+    return out

@@ -128,9 +128,72 @@ def test_local_lookup_parity_cow_and_mor(spark, tmp_table_dir):
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
 
 
+def test_local_lookup_parity_patch_and_cell_dialects(spark, tmp_table_dir):
+    """The 'column' and 'cell' dialects fold locally too: partial updates
+    (null = unchanged), per-column write seqs, pre-delete cell exclusion —
+    each probe must equal the distributed path exactly."""
+    rows = [
+        # key a: partial updates — b set at seq 2, a updated at seq 3
+        (1, "I", "r", "a", "a1", "b1"),
+        (2, "U", "r", "a", None, "b2"),
+        (3, "U", "r", "a", "a3", None),
+        # key b: delete at 5 supersedes; late pre-delete patch at 4 must
+        # NOT resurface column state under 'cell'
+        (1, "I", "r", "b", "x1", "y1"),
+        (5, "D", "r", "b", None, None),
+        (4, "U", "r", "b", "x4", None),
+        # key c: live after delete
+        (2, "D", "r", "c", None, None),
+        (6, "U", "r", "c", "c6", None),
+    ]
+    for dialect in ("column", "cell"):
+        batch = spark.createDataFrame(
+            rows, ["seq", "op", "repo", "path", "ca", "cb"])
+        from pyspark.sql.types import (
+            BooleanType, LongType, StringType, StructField, StructType,
+        )
+        fields = [
+            StructField("repo", StringType()),
+            StructField("path", StringType()),
+            StructField("ca", StringType()),
+            StructField("cb", StringType()),
+            StructField("__seq", LongType()),
+            StructField("__deleted", BooleanType()),
+        ]
+        if dialect == "cell":
+            from pyspark.sql.types import MapType
+            fields += [
+                StructField("__cells", MapType(StringType(), LongType())),
+                StructField("__del_seq", LongType()),
+            ]
+        t = LakeTable.create(
+            spark, f"{tmp_table_dir}/{dialect}", StructType(fields),
+            ["repo", "path"], n_buckets=4,
+            properties={"merge_dialect": dialect})
+        # two MOR deltas split mid-history → the local fold must resolve
+        # across files, not just pick a row
+        merge_lww_mor(t, batch.filter(F.col("seq") <= 2), ["repo", "path"],
+                      seq_col="seq")
+        merge_lww_mor(t, batch.filter(F.col("seq") > 2), ["repo", "path"],
+                      seq_col="seq")
+        for p in ("a", "b", "c", "missing"):
+            key = {"repo": "r", "path": p}
+            local = point_lookup(t, key).collect()
+            dist = point_lookup(t, key, prefer_local=False).collect()
+            assert [r.asDict() for r in local] == \
+                [r.asDict() for r in dist], (dialect, p)
+        # spot-check the semantics themselves
+        got = {r["path"]: (r["ca"], r["cb"])
+               for r in point_lookup(
+                   t, {"repo": "r", "path": "a"}).collect()}
+        assert got == {"a": ("a3", "b2")}
+        assert point_lookup(t, {"repo": "r", "path": "b"}).count() == 0
+
+
 def test_local_lookup_fallbacks(spark, tmp_table_dir):
-    """Cell dialect and schema-version drift answer FALLBACK (the Spark
-    path owns those folds); the public API still answers correctly."""
+    """Unknown dialects and schema-version drift answer FALLBACK (the
+    Spark path owns those folds); the public API still answers
+    correctly."""
     import dataclasses
 
     ev = make_events(spark, 600)
@@ -140,9 +203,9 @@ def test_local_lookup_fallbacks(spark, tmp_table_dir):
     key = {"repo": k["repo"], "path": k["path"]}
 
     snap = t.snapshot()
-    cell = dataclasses.replace(
-        snap, properties={**snap.properties, "merge_dialect": "cell"})
-    t.snapshot = lambda v=None: cell
+    odd = dataclasses.replace(
+        snap, properties={**snap.properties, "merge_dialect": "exotic"})
+    t.snapshot = lambda v=None: odd
     assert point_lookup_local(t, key) is FALLBACK
     t2 = LakeTable(spark, tmp_table_dir + "/t")
     drift = dataclasses.replace(
