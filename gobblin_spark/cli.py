@@ -99,6 +99,8 @@ def cmd_ingest(args) -> int:
         salt_buckets=args.salt_buckets,
         n_buckets=args.buckets,
         stats_cols=args.stats_cols or None,
+        auto_rescale_bytes=(args.auto_rescale_mb * 1024 * 1024
+                            if args.auto_rescale_mb else None),
         merge_mode=args.merge_mode,
         merge_dialect=args.merge_dialect,
         compact_every=args.compact_every,
@@ -765,6 +767,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="record value-stats blooms for this column on a "
                           "newly created table (repeatable) — enables "
                           "export --where file skipping")
+    ing.add_argument("--auto-rescale-mb", type=int, default=0,
+                     help="grow the bucket spec (metadata-only rescale) "
+                          "when average bytes per bucket exceeds this — "
+                          "keeps file sizes/parallelism bounded as the "
+                          "table grows")
     ing.add_argument("--max-batches", type=int, default=1000)
     ing.add_argument("--merge-dialect", choices=["row", "column", "cell"],
                      default="row", help="'column' = patch semantics: null "

@@ -195,6 +195,7 @@ class CdcEngine:
         log_keep_last: int | None = 64,
         fs=None,
         stats_cols: list[str] | None = None,
+        auto_rescale_bytes: int | None = None,
     ):
         """merge_mode: 'cow' rewrites affected buckets per batch (zero read
         amplification); 'mor' appends delta files per batch and compacts
@@ -261,6 +262,7 @@ class CdcEngine:
         # (≙ RowCountPolicy/RowCountRangePolicy gating TaskPublisher.canPublish)
         self.task_policies = task_policies or []
         self.plan_partitioning = plan_partitioning
+        self.auto_rescale_bytes = auto_rescale_bytes
         if LakeTable.exists(table_root, fs=fs):
             self.table = LakeTable(spark, table_root, fs=fs)
         else:
@@ -471,6 +473,9 @@ class CdcEngine:
                 rows_read = int(snap.properties.get("batch_rows", 0))
             rows_merged = rows_read
             tp = mark("merge_apply", tp)
+            if self.merge_mode == "cow":
+                snap = self._maybe_auto_rescale(snap)
+                snapshot_version = snap.version
             if self.merge_mode == "mor":
                 self._batches_since_compact += 1
                 should_full = self._should_compact(snap)
@@ -507,6 +512,7 @@ class CdcEngine:
                         properties={"compacted_after": batch_id},
                         gc_horizon_seq=horizon if horizon >= 0 else None,
                     )
+                    snap = self._maybe_auto_rescale(snap)
                     snapshot_version = snap.version
                     self._batches_since_compact = 0
                     tp = mark("compact", tp)
@@ -548,6 +554,28 @@ class CdcEngine:
             hot_repos=hot,
             phase_ms=phase_ms,
         )
+
+    def _maybe_auto_rescale(self, snap):
+        """Operational auto-tuning: when the average data volume per bucket
+        crosses ``auto_rescale_bytes``, grow the bucket spec (metadata-only
+        O(1) commit; rescale_buckets) by the power-of-two factor that
+        brings it back under. Checked after COW applies and after full
+        compactions — O(files) driver math on the manifest, no scan. This
+        is how a table that grows 100× keeps merge/compaction parallelism
+        and file sizes bounded without an operator watching it."""
+        if not self.auto_rescale_bytes:
+            return snap
+        if snap.n_buckets >= (1 << 16):  # spec-growth ceiling
+            return snap
+        total = sum(f.bytes for f in snap.files)
+        avg = total / max(1, snap.n_buckets)
+        if avg <= self.auto_rescale_bytes:
+            return snap
+        factor = 2
+        while (avg / factor > self.auto_rescale_bytes
+               and snap.n_buckets * factor < (1 << 16)):
+            factor *= 2
+        return self.table.rescale_buckets(snap.n_buckets * factor)
 
     def _should_compact(self, snap) -> bool:
         """Adaptive compaction decision from manifest metadata only (O(files)

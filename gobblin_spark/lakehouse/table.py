@@ -1070,26 +1070,39 @@ class LakeTable:
 
         Only growth by an integer factor is allowed: a non-multiple (or a
         shrink) would break the residue mapping and with it every bucket
-        prune on pre-rescale files."""
-        snap = self.snapshot()
-        if new_n == snap.n_buckets:
-            return snap
-        if new_n <= 0 or new_n % snap.n_buckets != 0:
-            raise ValueError(
-                f"rescale to {new_n}: must be a positive integer multiple "
-                f"of the current spec {snap.n_buckets} (residue-mapped "
-                f"pruning on existing files requires divisibility)")
-        props = {
-            "legacy_spec_n": int(
-                snap.properties.get("legacy_spec_n", 0)) or snap.n_buckets,
-        }
-        return self.commit(
-            keep_files=snap.files,
-            add_files=[],
-            properties=props,
-            expected_version=snap.version,
-            n_buckets=new_n,
-        )
+        prune on pre-rescale files.
+
+        Concurrent-writer safe: losing the optimistic commit race to an
+        ingest/compaction commit just re-reads the winner and retries —
+        the rescale is metadata-only, so the retry is free."""
+        last_exc: Exception | None = None
+        for _ in range(8):
+            snap = self.snapshot()
+            if new_n == snap.n_buckets:
+                return snap
+            if new_n <= 0 or new_n % snap.n_buckets != 0:
+                raise ValueError(
+                    f"rescale to {new_n}: must be a positive integer "
+                    f"multiple of the current spec {snap.n_buckets} "
+                    f"(residue-mapped pruning on existing files requires "
+                    f"divisibility)")
+            props = {
+                "legacy_spec_n": int(
+                    snap.properties.get("legacy_spec_n", 0))
+                or snap.n_buckets,
+            }
+            try:
+                return self.commit(
+                    keep_files=snap.files,
+                    add_files=[],
+                    properties=props,
+                    expected_version=snap.version,
+                    n_buckets=new_n,
+                )
+            except ConcurrentCommitError as exc:
+                last_exc = exc
+                continue
+        raise last_exc  # type: ignore[misc]
 
     def rollback(self, to_version: int) -> Snapshot:
         """Restore a previous snapshot's state as a NEW commit (≙ Iceberg

@@ -193,3 +193,58 @@ def test_rescale_cli(spark, tmp_table_dir, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["from_buckets"] == 8 and out["to_buckets"] == 32
     assert LakeTable(spark, tmp_table_dir + "/t").snapshot().n_buckets == 32
+
+
+def test_rescale_retries_through_commit_race(spark, tmp_table_dir):
+    """A rescale losing the optimistic race to a concurrent ingest commit
+    re-reads the winner and retries (metadata-only, free)."""
+    ev = make_events(spark, 1200)
+    t = new_table(spark, tmp_table_dir + "/t")
+    merge_lww(t, data_events(ev), KEYS)
+    before = _fp(t)
+
+    orig = LakeTable.commit
+    calls = {"n": 0}
+
+    def racy(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the winner lands between rescale's snapshot() and commit()
+            from gobblin_spark.lakehouse.table import ConcurrentCommitError
+            raise ConcurrentCommitError("simulated winner")
+        return orig(self, *a, **kw)
+
+    LakeTable.commit = racy
+    try:
+        snap = t.rescale_buckets(32)
+    finally:
+        LakeTable.commit = orig
+    assert snap.n_buckets == 32 and calls["n"] == 2
+    assert _fp(t) == before
+
+
+def test_engine_auto_rescale_grows_buckets(spark, tmp_table_dir):
+    """The operational knob end-to-end: a tiny per-bucket byte threshold
+    makes the engine rescale mid-run; convergence is unaffected."""
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.sources import generate_change_events
+
+    d = tmp_table_dir
+    generate_change_events(
+        spark, 2500, n_repos=10, paths_per_repo=40,
+        dup_frac=0.05, delete_frac=0.08, ooo_window=120,
+    ).write.parquet(d + "/events")
+    ev = spark.read.parquet(d + "/events")
+
+    eng = CdcEngine(spark, ev, d + "/t", d + "/s",
+                    max_records_per_batch=800, n_buckets=4,
+                    auto_rescale_bytes=8 * 1024)
+    eng.run_until_caught_up()
+    snap = eng.table.snapshot()
+    assert snap.n_buckets > 4, "auto-rescale must have triggered"
+    assert snap.n_buckets & (snap.n_buckets - 1) == 0  # power-of-two growth
+
+    twin = CdcEngine(spark, ev, d + "/t2", d + "/s2",
+                     max_records_per_batch=100000, n_buckets=4)
+    twin.run_until_caught_up()
+    assert _fp(eng.table) == _fp(twin.table)
