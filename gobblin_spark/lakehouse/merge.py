@@ -900,9 +900,13 @@ def point_lookup(
     missing = [k for k in snap.bucket_cols if k not in key]
     if missing:
         raise ValueError(f"point_lookup needs all merge keys; missing {missing}")
+    # bucket id under the PINNED snapshot's spec (buckets_of would use the
+    # current spec — wrong for a version pinned from before a rescale)
     one = table.spark.createDataFrame(
         [tuple(key[k] for k in snap.bucket_cols)], list(snap.bucket_cols))
-    bucket = next(iter(table.buckets_of(one)))
+    bucket = one.select(
+        bucket_expr(snap.bucket_cols, snap.n_buckets).alias("b")
+    ).first()["b"]
     # two-level skipping: the key's hash bucket, then key_bounds — within
     # the bucket, MOR delta files each hold only their batch's keys, so
     # most are excluded by their recorded per-column bounds without a read

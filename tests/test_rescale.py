@@ -134,6 +134,7 @@ def test_point_lookup_across_rescale(spark, tmp_table_dir):
         (r["repo"], r["path"]): r["commit"]
         for r in read_current(t).collect()
     }
+    v_before = t.current_version()
     t.rescale_buckets(64)
     for repo, path in keys:
         for local in (True, False):
@@ -142,6 +143,14 @@ def test_point_lookup_across_rescale(spark, tmp_table_dir):
             ).collect()
             assert len(rows) == 1
             assert rows[0]["commit"] == expect[(repo, path)]
+            # version pinned from BEFORE the rescale: the bucket id must
+            # be derived under THAT snapshot's spec, not the current one
+            rows_v = point_lookup(
+                t, {"repo": repo, "path": path}, version=v_before,
+                prefer_local=local,
+            ).collect()
+            assert [r.asDict() for r in rows_v] == \
+                [r.asDict() for r in rows]
 
 
 def test_table_changes_across_rescale_boundary(spark, tmp_table_dir):
