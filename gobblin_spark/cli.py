@@ -566,6 +566,7 @@ def cmd_stream(args) -> int:
         n_buckets=args.buckets,
         max_files_per_trigger=args.max_files_per_trigger,
         merge_dialect=args.merge_dialect,
+        stats_cols=args.stats_cols or None,
     )
     q.awaitTermination()
     table = LakeTable(spark, args.table)
@@ -1019,6 +1020,9 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--salt-buckets", type=int, default=0)
     st.add_argument("--buckets", type=int, default=32)
     st.add_argument("--max-files-per-trigger", type=int, default=None)
+    st.add_argument("--stats-cols", action="append", default=[],
+                    help="value-stats bloom columns on a newly created "
+                         "table (repeatable)")
     st.add_argument("--local-cores", type=int, default=0)
 
     hi = sub.add_parser(

@@ -54,6 +54,7 @@ def stream_ingest(
     n_buckets: int = 32,
     max_files_per_trigger: int | None = None,
     merge_dialect: str = "row",
+    stats_cols: list[str] | None = None,
 ):
     """Run the streaming ingest; returns the StreamingQuery.
 
@@ -72,6 +73,7 @@ def stream_ingest(
             n_buckets=n_buckets,
             properties={"registry_version": 1,
                         "merge_dialect": merge_dialect},
+            stats_cols=stats_cols,
         )
     if table.snapshot().merge_dialect == "column":
         # The per-epoch COW fold keeps one seq per ROW; patch correctness
