@@ -105,6 +105,7 @@ def cmd_ingest(args) -> int:
         merge_dialect=args.merge_dialect,
         compact_every=args.compact_every,
         compact_bucket_ratio=args.compact_bucket_ratio,
+        compact_max_rows_per_file=args.compact_max_rows_per_file or None,
         log_keep_last=args.log_keep_last or None,
     )
     t0 = time.time()
@@ -364,7 +365,8 @@ def cmd_compact(args) -> int:
     _resolve_table(args)
     spark = _get_session(args)
     table = LakeTable(spark, args.table)
-    snap = compact(table, salt_buckets=args.salt_buckets)
+    snap = compact(table, salt_buckets=args.salt_buckets,
+                   max_rows_per_file=args.max_rows_per_file or None)
     print(json.dumps({
         "snapshot_version": snap.version,
         "table_stats": table.stats(),
@@ -784,6 +786,10 @@ def main(argv: list[str] | None = None) -> int:
                           "mor: append deltas, compact periodically")
     ing.add_argument("--compact-every", type=int, default=8,
                      help="mor: compact after this many batches")
+    ing.add_argument("--compact-max-rows-per-file", type=int, default=0,
+                     help="mor: hash-split a compacted bucket over "
+                          "ceil(rows/cap) output files — bounds the giant-"
+                          "bucket straggler task and file size")
     ing.add_argument("--compact-bucket-ratio", type=float, default=None,
                      help="mor: per-bucket temperature trigger — fold a "
                           "bucket as soon as ITS delta rows reach this "
@@ -911,6 +917,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="LakeTable root, or a catalog NAME with --catalog")
     cp.add_argument("--catalog", default="")
     cp.add_argument("--salt-buckets", type=int, default=0)
+    cp.add_argument("--max-rows-per-file", type=int, default=0,
+                    help="hash-split buckets above this row count over "
+                         "multiple output files (giant-bucket guard)")
     cp.add_argument("--local-cores", type=int, default=0)
 
     rs = sub.add_parser(

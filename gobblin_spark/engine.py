@@ -187,6 +187,7 @@ class CdcEngine:
         compact_every: int | None = 8,
         compact_delta_ratio: float | None = 0.25,
         compact_bucket_ratio: float | None = None,
+        compact_max_rows_per_file: int | None = None,
         gc_after_compact: bool = True,
         task_policies: list | None = None,
         plan_partitioning: bool = True,
@@ -256,6 +257,7 @@ class CdcEngine:
         self.compact_every = compact_every
         self.compact_delta_ratio = compact_delta_ratio
         self.compact_bucket_ratio = compact_bucket_ratio
+        self.compact_max_rows_per_file = compact_max_rows_per_file
         self.gc_after_compact = gc_after_compact
         self._batches_since_compact = 0
         # task-level publish gates: each has .check(rows_read) -> bool
@@ -492,6 +494,7 @@ class CdcEngine:
                         hot_keys=hot_df,
                         properties={"compacted_after": batch_id,
                                     "compacted_buckets": sorted(hot_set)},
+                        max_rows_per_file=self.compact_max_rows_per_file,
                     )
                     snapshot_version = snap.version
                     tp = mark("compact", tp)
@@ -511,6 +514,7 @@ class CdcEngine:
                         hot_keys=hot_df,
                         properties={"compacted_after": batch_id},
                         gc_horizon_seq=horizon if horizon >= 0 else None,
+                        max_rows_per_file=self.compact_max_rows_per_file,
                     )
                     snap = self._maybe_auto_rescale(snap)
                     snapshot_version = snap.version

@@ -650,6 +650,7 @@ def compact(
     min_files_per_bucket: int = 2,
     gc_horizon_seq: int | None = None,
     max_commit_retries: int = 3,
+    max_rows_per_file: int | None = None,
 ) -> Snapshot:
     """Fold MOR delta files into one row per key (LWW by __seq) — the
     reference's standalone compaction job (MRCompactor), as one bucketed
@@ -743,8 +744,30 @@ def compact(
         # compaction is the write that pays for read layout: key-sorted
         # files give narrow parquet row-group stats, so point lookups skip
         # row groups in-file on top of manifest bucket + key_bounds skipping
+        splits = None
+        if max_rows_per_file:
+            # giant-bucket guard (one tenant holding most of a table):
+            # hash-split a bucket whose row count exceeds the cap over
+            # ceil(rows/cap) tasks/files — bounds the compaction straggler
+            # task and the output file size without touching cold buckets.
+            # Row counts from manifest metadata (upper bound: pre-fold).
+            rows_per_bucket: dict[int, float] = {}
+            for f in snap.files:
+                m = mapped[f.path]
+                if any(b in target_buckets for b in m):
+                    share = f.rows / len(m)
+                    for b in m:
+                        if b in target_buckets:
+                            rows_per_bucket[b] = (
+                                rows_per_bucket.get(b, 0.0) + share)
+            splits = {
+                b: int(-(-r // max_rows_per_file))
+                for b, r in rows_per_bucket.items()
+                if r > max_rows_per_file
+            } or None
         new_files = table.write_data_files(final, seq_col=SEQ_COL,
-                                           sort_cols=list(snap.merge_keys))
+                                           sort_cols=list(snap.merge_keys),
+                                           splits_by_bucket=splits)
         props = dict(properties or {})
         if gc_horizon_seq is not None:
             props["gc_horizon_seq"] = gc_horizon_seq

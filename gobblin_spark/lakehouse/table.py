@@ -599,6 +599,7 @@ class LakeTable:
         reduced: bool = True,
         distribution: str = "cluster",
         sort_cols: list[str] | None = None,
+        splits_by_bucket: dict[int, int] | None = None,
     ) -> list[DataFile]:
         """Write df as new data files (NOT yet visible — commit separately).
 
@@ -616,6 +617,17 @@ class LakeTable:
           small frequent appends (MOR deltas): the batch payload crosses
           the network zero times, and periodic compaction folds the extra
           files anyway.
+
+        ``splits_by_bucket``: bucket → k. Rows of that bucket are hash-
+        spread (by merge key) over k tasks → k files, bounding the single-
+        task/single-file size of a GIANT bucket (one tenant holding most of
+        the table) without touching cold buckets. The split key is the
+        bucket hash re-hashed, so one merge key's rows stay in ONE split
+        file (LWW candidates never straddle splits needlessly) and
+        key_eq/row-group skipping keep working; split files cover the
+        bucket's whole key range, so their key_bounds are wider than a
+        range split would give — the documented tradeoff for not sampling
+        boundaries.
         """
         snap = self.snapshot()
         sv = schema_version or snap.schema_version
@@ -635,11 +647,33 @@ class LakeTable:
                                      snap.partition_spec["granularity"]),
             )
             part_cols = ["__part", "__bucket"]
-        if distribution == "cluster":
-            out = out.repartition(
-                max(1, snap.n_buckets * partitions_per_bucket),
-                *[F.col(c) for c in part_cols],
+        split_col = None
+        if splits_by_bucket and any(k > 1 for k in splits_by_bucket.values()):
+            # re-hash the bucket hash: deterministic, key-stable split id
+            pairs = []
+            for b, k in sorted(splits_by_bucket.items()):
+                if k > 1:
+                    pairs += [F.lit(int(b)), F.lit(int(k))]
+            kmap = F.create_map(*pairs)
+            # re-hash the 64-bit KEY hash (not the bucket id, which is
+            # constant within a bucket): varies per key, and all of one
+            # key's rows land in the same split file
+            key_h = F.xxhash64(*[F.col(c) for c in snap.bucket_cols])
+            split_col = F.pmod(
+                F.xxhash64(key_h),
+                F.coalesce(F.element_at(kmap, F.col("__bucket")), F.lit(1)),
             )
+        if distribution == "cluster":
+            shuffle_cols = [F.col(c) for c in part_cols]
+            n_parts = max(1, snap.n_buckets * partitions_per_bucket)
+            if split_col is not None:
+                out = out.withColumn("__split", split_col)
+                shuffle_cols.append(F.col("__split"))
+                n_parts += sum(
+                    k - 1 for k in splits_by_bucket.values() if k > 1)
+            out = out.repartition(n_parts, *shuffle_cols)
+            if split_col is not None:
+                out = out.drop("__split")  # projection: no reshuffle
         elif distribution != "fanout":
             raise ValueError(f"unknown write distribution: {distribution}")
         if sort_cols:

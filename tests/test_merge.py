@@ -574,3 +574,50 @@ def test_engine_per_bucket_compaction_temperature(spark, tmp_table_dir):
                        for f in snap1.files)} <= survived
 
     assert_matches_oracle(read_current(eng.table), events)
+
+
+def test_compact_splits_giant_bucket(spark, tmp_table_dir):
+    """Giant-bucket guard: a bucket whose row count exceeds
+    max_rows_per_file compacts into ceil(rows/cap) hash-split files (one
+    merge key's rows never straddle splits), cold buckets stay single-file,
+    and the visible state is unchanged."""
+    from gobblin_spark.lakehouse.merge import merge_lww_mor, point_lookup
+    from gobblin_spark.lakehouse.merge import compact as compact_fn
+
+    ev = make_events(spark, 4000, n_repos=1, paths_per_repo=1500)
+    t = new_table(spark, tmp_table_dir + "/t")
+    d = data_events(ev)
+    hi = int(d.agg(F.max("seq")).first()[0])
+    merge_lww_mor(t, d.filter(F.col("seq") <= hi // 2), KEYS)
+    merge_lww_mor(t, d.filter(F.col("seq") > hi // 2), KEYS)
+
+    want = sorted(map(tuple, read_current(t).collect()))
+    snap = compact_fn(t, max_rows_per_file=200)
+    per_bucket = {}
+    for f in snap.files:
+        per_bucket.setdefault(f.bucket, []).append(f)
+    # every bucket's files respect the cap-ish bound (hash split is
+    # approximately even; allow 2x slack) and at least one bucket split
+    assert any(len(fl) > 1 for fl in per_bucket.values())
+    for fl in per_bucket.values():
+        for f in fl:
+            assert f.rows <= 2 * 200, f.rows
+    assert sorted(map(tuple, read_current(t).collect())) == want
+    assert int(snap.properties.get("mor_deltas", 0)) == 0
+
+    # point lookup still resolves through split files (both paths)
+    k = want[0]
+    rows = point_lookup(t, {"repo": k[0], "path": k[1]}).collect()
+    rows2 = point_lookup(t, {"repo": k[0], "path": k[1]},
+                         prefer_local=False).collect()
+    assert len(rows) == 1
+    assert [r.asDict() for r in rows] == [r.asDict() for r in rows2]
+
+    # a later compaction folds split files back together when under cap
+    merge_lww_mor(t, d.limit(50), KEYS)
+    snap2 = compact_fn(t)
+    per_bucket2 = {}
+    for f in snap2.files:
+        per_bucket2.setdefault(f.bucket, []).append(f)
+    assert all(len(fl) == 1 for fl in per_bucket2.values())
+    assert sorted(map(tuple, read_current(t).collect())) == want
