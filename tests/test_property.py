@@ -150,3 +150,80 @@ def test_replay_converges_to_oracle(spark, ops, seed, dup_count, batch_cap,
         import shutil
 
         shutil.rmtree(work, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    ops=st.lists(
+        st.tuples(st.integers(0, N_KEYS - 1), st.sampled_from("IUD")),
+        min_size=12, max_size=30),
+    seed=st.integers(0, 2**31),
+    dup_count=st.integers(0, 5),
+    batch_cap=st.integers(6, 24),
+    merge_mode=st.sampled_from(["cow", "mor"]),
+    factors=st.sampled_from([(2,), (4,), (2, 2)]),
+)
+def test_replay_converges_across_mid_run_rescales(
+        spark, ops, seed, dup_count, batch_cap, merge_mode, factors):
+    """Bucket rescales interleaved with the ingest loop (after the first
+    batch, and again mid-stream for two-factor cases) must not change the
+    converged state: residue-mapped reads + progressive migration are
+    invisible to LWW semantics."""
+    from pyspark.sql.types import (LongType, IntegerType, StringType,
+                                   StructField, StructType)
+
+    from gobblin_spark.engine import CdcEngine
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import read_current
+
+    rows = build_events(ops, seed, dup_count)
+    schema = StructType([
+        StructField("seq", LongType()),
+        StructField("event_group", IntegerType()),
+        StructField("op", StringType()),
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+        StructField("schema_version", IntegerType()),
+        StructField("version", LongType()),
+        StructField("size_bytes", LongType()),
+    ])
+    events = spark.createDataFrame(rows, schema=schema)
+
+    work = tempfile.mkdtemp(prefix="gobblin_prop_rs_")
+    try:
+        def make_engine():
+            return CdcEngine(
+                spark, events,
+                table_root=os.path.join(work, "table"),
+                state_root=os.path.join(work, "state"),
+                max_records_per_batch=batch_cap,
+                n_buckets=4,
+                merge_mode=merge_mode,
+                compact_every=3,
+            )
+
+        eng = make_engine()
+        n = 4
+        for i, f in enumerate(factors):
+            eng.run_batch()
+            n *= f
+            eng.table.rescale_buckets(n)
+            eng = make_engine()  # restart on top of the rescaled table
+        eng.run_until_caught_up()
+
+        table = LakeTable(spark, os.path.join(work, "table"))
+        assert table.snapshot().n_buckets == n
+        got = {
+            (r["repo"], r["path"]): (r["commit"], r["lang"], r["content"])
+            for r in read_current(table).collect()
+        }
+        assert got == oracle_state(rows)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
