@@ -464,6 +464,62 @@ def cmd_pull(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Targeted deletion: DELETE FROM table WHERE col=value [...] as a
+    normal LWW merge of tombstones (crash-safe, changelog-visible).
+    --dry-run counts the matching live keys without writing."""
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import delete_where, read_current
+
+    _resolve_table(args)
+    spark = _get_session(args)
+    table = LakeTable(spark, args.table)
+    where = dict(kv.split("=", 1) for kv in args.where)
+    if not where:
+        raise SystemExit("delete requires at least one --where col=value")
+    if args.dry_run:
+        n = read_current(table, value_eq=where).count()
+        print(json.dumps({"deleted": 0, "would_delete": n,
+                          "where": where}))
+        return 0
+    out = delete_where(table, where, seq=args.seq or None)
+    out["where"] = where
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_purge(args) -> int:
+    """Physical-erasure pipeline for a targeted deletion: delete matching
+    keys, fold + GC the tombstones at the deletion seq, expire old
+    snapshots down to the current one, and vacuum the unreferenced files
+    off disk. After this, neither the live table, the retained manifests,
+    nor the data directory holds the deleted rows (≙ the reference's
+    retention/cleanup job family, composed into one auditable command)."""
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import (
+        compact, delete_where, gc_tombstones,
+    )
+
+    _resolve_table(args)
+    spark = _get_session(args)
+    table = LakeTable(spark, args.table)
+    where = dict(kv.split("=", 1) for kv in args.where)
+    if not where:
+        raise SystemExit("purge requires at least one --where col=value")
+    res = delete_where(table, where, seq=args.seq or None)
+    compact(table)  # fold any outstanding deltas first (GC requires it)
+    gc_tombstones(table, horizon_seq=res["seq"])
+    expired = table.expire_snapshots(keep_last=1)
+    removed = table.vacuum()
+    print(json.dumps({
+        "deleted": res["deleted"], "seq": res["seq"], "where": where,
+        "snapshots_expired": len(expired),
+        "files_removed": removed,
+        "snapshot_version": table.current_version(),
+    }))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Export the visible table state (optionally filtered) to a format
     sink. ``--where col=value`` uses manifest value-stats blooms to skip
@@ -960,6 +1016,34 @@ def main(argv: list[str] | None = None) -> int:
                     default="sha256")
     vf.add_argument("--local-cores", type=int, default=0)
 
+    dl = sub.add_parser(
+        "delete",
+        help="targeted deletion: tombstone every live key matching "
+             "--where, merged through the normal LWW apply "
+             "(changelog-visible; value-stats blooms skip files)",
+    )
+    dl.add_argument("--table", required=True,
+                    help="LakeTable root, or a catalog NAME with --catalog")
+    dl.add_argument("--catalog", default="")
+    dl.add_argument("--where", action="append", default=[], required=True,
+                    help="equality predicate col=value (repeatable, ANDed)")
+    dl.add_argument("--seq", type=int, default=0,
+                    help="tombstone seq (default: table max seq + 1)")
+    dl.add_argument("--dry-run", action="store_true")
+    dl.add_argument("--local-cores", type=int, default=0)
+
+    pg = sub.add_parser(
+        "purge",
+        help="physical erasure: delete --where, then compact + tombstone-GC"
+             " + expire + vacuum so no retained manifest or data file holds"
+             " the deleted rows",
+    )
+    pg.add_argument("--table", required=True)
+    pg.add_argument("--catalog", default="")
+    pg.add_argument("--where", action="append", default=[], required=True)
+    pg.add_argument("--seq", type=int, default=0)
+    pg.add_argument("--local-cores", type=int, default=0)
+
     xp = sub.add_parser(
         "export",
         help="export the visible table state (optionally filtered via "
@@ -1129,6 +1213,7 @@ def main(argv: list[str] | None = None) -> int:
             "compact": cmd_compact,
             "fingerprint": cmd_fingerprint, "verify": cmd_verify,
             "rescale": cmd_rescale, "export": cmd_export,
+            "delete": cmd_delete, "purge": cmd_purge,
             "vacuum": cmd_vacuum, "dedup": cmd_dedup,
             "changes": cmd_changes, "expire": cmd_expire,
             "history": cmd_history, "rollback": cmd_rollback,

@@ -835,6 +835,68 @@ def read_current(
     return df
 
 
+def delete_where(
+    table: LakeTable,
+    predicate: dict[str, Any],
+    seq: int | None = None,
+    properties: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Targeted deletion — ``DELETE FROM t WHERE col = v [AND ...]`` as a
+    CDC-native operation (the right-to-be-forgotten / tenant-offboarding
+    maintenance op a 100 TB upsert table needs):
+
+    1. find the matching LIVE keys via ``read_current(value_eq=predicate)``
+       — on a compacted table with value-stats blooms on the predicate
+       column this plans O(matching files), not O(table);
+    2. emit one TOMBSTONE per matched key (payload columns NULLED — a
+       tombstone must not itself retain the data being deleted) at ``seq``
+       (default: the table's max stored seq + 1, computed from manifest
+       stats, no scan) and MERGE it through the normal LWW apply — so the
+       deletion is crash-safe, replayable, and visible in the changelog
+       (``table_changes`` shows 'delete' rows) and to downstream syncs.
+
+    LWW semantics are preserved exactly: a FUTURE event for the key with a
+    higher seq recreates the row (Iceberg-DELETE-like); choose ``seq``
+    consciously if the table is still being fed by a stream whose offsets
+    can pass the default.
+
+    PHYSICAL erasure is completed by the normal maintenance pipeline —
+    the merge rewrites the affected buckets (old files leave the live
+    manifest immediately), then ``gc_tombstones``/compaction drops the
+    tombstones, ``expire_snapshots`` retires the manifests that still
+    reference the old files, and ``vacuum`` deletes them from disk. The
+    ``purge`` CLI composes exactly that sequence.
+
+    Returns {"deleted": n, "seq": s, "snapshot_version": v}."""
+    snap = table.snapshot()
+    if seq is None:
+        seqs = [f.max_seq for f in snap.files if f.max_seq is not None]
+        seq = (max(seqs) + 1) if seqs else 1
+    keys = snap.merge_keys
+    payload = [f.name for f in snap.schema.fields
+               if f.name not in META_COLS and f.name not in keys]
+    victims = read_current(table, value_eq=predicate).select(*keys)
+    # merge_lww runs several actions over the batch (bucket planning, the
+    # write, the stats pass), so an Observation can't count it — one extra
+    # count over the bloom-pruned read is the simple correct thing
+    n = victims.count()
+    if n == 0:
+        return {"deleted": 0, "seq": int(seq),
+                "snapshot_version": snap.version}
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    batch = victims.select(
+        *keys,
+        F.lit(int(seq)).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+        *[F.lit(None).cast(types[c]).alias(c) for c in payload],
+    )
+    props = dict(properties or {})
+    props["delete_where"] = {k: str(v) for k, v in predicate.items()}
+    new = merge_lww(table, batch, keys, properties=props)
+    return {"deleted": n, "seq": int(seq),
+            "snapshot_version": new.version}
+
+
 def table_fingerprint(
     table: LakeTable,
     version: int | None = None,
