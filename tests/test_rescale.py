@@ -257,3 +257,52 @@ def test_engine_auto_rescale_grows_buckets(spark, tmp_table_dir):
                      max_records_per_batch=100000, n_buckets=4)
     twin.run_until_caught_up()
     assert _fp(eng.table) == _fp(twin.table)
+
+
+def test_rollback_across_rescale_restores_old_spec(spark, tmp_table_dir):
+    """Rolling back to a pre-rescale snapshot restores the old bucket spec
+    and file set; reads, point lookups and changelog diffs (whose unit
+    modulus no longer divides the post-rescale specs → unpruned-fallback
+    path) all stay correct."""
+    d = tmp_table_dir
+    ev = make_events(spark, 2000)
+    de = data_events(ev)
+    hi = int(de.agg(F.max("seq")).first()[0])
+
+    t = new_table(spark, d + "/t")
+    merge_lww(t, de.filter(F.col("seq") <= hi // 2), KEYS)
+    v_pre = t.current_version()
+    pre_state = sorted(map(tuple, read_current(t).collect()))
+    t.rescale_buckets(16)
+    merge_lww(t, de.filter(F.col("seq") > hi // 2), KEYS)
+    v_post = t.current_version()
+
+    t.rollback(v_pre)
+    snap = t.snapshot()
+    assert snap.n_buckets == 8
+    assert sorted(map(tuple, read_current(t).collect())) == pre_state
+
+    # point lookup under the restored spec (both paths)
+    k = pre_state[0]
+    for local in (True, False):
+        rows = point_lookup(t, {"repo": k[0], "path": k[1]},
+                            prefer_local=local).collect()
+        assert len(rows) == 1
+
+    # changelog FROM the post-rescale version TO the rolled-back current:
+    # post-rescale file specs (16) don't divide the unit modulus (8) →
+    # the diff falls back to unpruned and must equal the semantic diff
+    got = {(r["repo"], r["path"], r["_change_type"])
+           for r in table_changes(t, v_post).collect()}
+    new_live = {(a, b): rest for (a, b, *rest) in pre_state}
+    old_live_rows = read_current(t, version=v_post).collect()
+    old_live = {(r["repo"], r["path"]): r for r in old_live_rows}
+    expect = set()
+    for key in set(new_live) | set(old_live):
+        if key in new_live and key not in old_live:
+            expect.add((key[0], key[1], "insert"))
+        elif key in old_live and key not in new_live:
+            expect.add((key[0], key[1], "delete"))
+    # updates: live in both with different winning seq — derive via seqs
+    assert {(a, b, c) for (a, b, c) in got
+            if c in ("insert", "delete")} == expect
