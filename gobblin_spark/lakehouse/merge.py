@@ -829,9 +829,23 @@ def read_current(
         df = (df.filter(~F.col(DELETED_COL))
                 .drop(DELETED_COL, SEQ_COL, CELLS_COL, DELSEQ_COL))
     if value_eq:
+        from gobblin_spark.lakehouse.table import _coerce_probe
+        types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
         for c, v in value_eq.items():
-            df = df.filter(F.col(c).isNull() if v is None
-                           else (F.col(c) == F.lit(v)))
+            if v is None:
+                df = df.filter(F.col(c).isNull())
+                continue
+            # coerce CLI-string probes to the column type; an uncoercible
+            # string probe matches nothing (ANSI mode would otherwise
+            # throw on the implicit cast inside the comparison); a typed
+            # probe of a type _coerce_probe doesn't know passes through
+            cv = _coerce_probe(v, types.get(c, "string"))
+            if cv is None and not isinstance(v, str):
+                cv = v
+            if cv is None:
+                df = df.filter(F.lit(False))
+            else:
+                df = df.filter(F.col(c) == F.lit(cv))
     return df
 
 

@@ -259,6 +259,32 @@ def mapped_buckets(f: DataFile, snap: Snapshot) -> range:
 
 
 # ------------------------------------------------------- value-stats bloom
+# column types a bloom may be built on: the driver-side probe must hash the
+# value bit-identically to the executor-side xxhash64, so only types with
+# an exact Python twin (and an unambiguous string→value coercion for CLI
+# probes) are allowed
+_BLOOM_TYPES = ("string", "byte", "short", "integer", "long", "boolean")
+
+
+def _coerce_probe(value: Any, type_name: str) -> Any:
+    """Coerce a probe value (possibly a CLI string) to the column's type so
+    the bloom hash matches what the executor recorded. Returns the coerced
+    value, or None when coercion is impossible (caller must NOT prune)."""
+    try:
+        if type_name == "string":
+            return str(value)
+        if type_name in ("byte", "short", "integer", "long"):
+            return int(value)
+        if type_name == "boolean":
+            if isinstance(value, bool):
+                return value
+            s = str(value).strip().lower()
+            return {"true": True, "false": False}.get(s)
+        if type_name in ("float", "double"):
+            return float(value)  # row-filter only; never bloom-hashed
+        return None
+    except (TypeError, ValueError):
+        return None
 # k=2 double-probe bloom over xxhash64: position 1 = pmod(h, m), position 2
 # = pmod(h >>> 17, m). Both derivations exist bit-exactly in Spark SQL
 # (executor-side build) and in the Python xxhash64 port (driver-side probe,
@@ -369,10 +395,16 @@ class LakeTable:
             )
         props = dict(properties or {})
         if stats_cols:
-            names = {f.name for f in schema.fields}
-            bad = [c for c in stats_cols if c not in names]
+            by_name = {f.name: f.dataType.typeName() for f in schema.fields}
+            bad = [c for c in stats_cols if c not in by_name]
             if bad:
                 raise ValueError(f"stats_cols not in schema: {bad}")
+            untyped = [c for c in stats_cols
+                       if by_name[c] not in _BLOOM_TYPES]
+            if untyped:
+                raise ValueError(
+                    f"stats_cols must be string/integer/boolean columns "
+                    f"(exact cross-engine hash): {untyped}")
             if stats_bloom_bits % 8 or stats_bloom_bits <= 0:
                 raise ValueError("stats_bloom_bits must be a positive "
                                  "multiple of 8")
@@ -981,11 +1013,18 @@ class LakeTable:
             # cache per (column, m) across files
             pos_cache: dict[tuple[str, int], list[int]] = {}
 
-            def _pos(c: str, v: Any, m: int) -> list[int]:
+            def _pos(c: str, v: Any, m: int) -> list[int] | None:
                 k = (c, m)
                 if k not in pos_cache:
-                    pos_cache[k] = bloom_positions_py(
-                        v, m, int_size=_int_size(type_by_name[c]))
+                    # coerce (CLI probes arrive as strings) so the hash
+                    # matches the executor-recorded type; uncoercible or
+                    # non-bloomable type → None → never prune on this
+                    # column (sound superset)
+                    t = type_by_name[c]
+                    cv = (_coerce_probe(v, t)
+                          if t in _BLOOM_TYPES else None)
+                    pos_cache[k] = None if cv is None else \
+                        bloom_positions_py(cv, m, int_size=_int_size(t))
                 return pos_cache[k]
 
             def bloom_hit(f: DataFile) -> bool:
@@ -997,8 +1036,9 @@ class LakeTable:
                     ent = f.value_stats.get(c)
                     if ent is None:
                         continue
-                    if not bloom_may_contain(
-                            ent["b"], _pos(c, v, int(ent["m"]))):
+                    pos = _pos(c, v, int(ent["m"]))
+                    if pos is not None and not bloom_may_contain(
+                            ent["b"], pos):
                         return False
                 return True
             files = [f for f in files if bloom_hit(f)]

@@ -169,3 +169,45 @@ def test_bloom_soundness_every_value_in_file_hits(spark, tmp_table_dir):
                 continue
             assert bloom_may_contain(
                 ent["b"], bloom_positions_py(v, int(ent["m"])))
+
+
+def test_typed_stats_col_with_string_probe(spark, tmp_table_dir):
+    """CLI probes arrive as strings; a bloom on an integer column must
+    coerce the probe before hashing (a string-hashed probe would wrongly
+    skip every file) — and uncoercible probes must never prune."""
+    from pyspark.sql.types import IntegerType
+
+    schema = StructType([
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("stars", LongType()),
+        StructField("flag", BooleanType()),
+        StructField("__seq", LongType()),
+        StructField("__deleted", BooleanType()),
+    ])
+    t = LakeTable.create(spark, tmp_table_dir + "/t", schema, KEYS,
+                         n_buckets=4, stats_cols=["stars", "flag"])
+    rows = [(i, "U", f"r{i % 3}", f"p{i}", "c", i % 7, i % 2 == 0)
+            for i in range(80)]
+    merge_lww(t, spark.createDataFrame(
+        rows, ["seq", "op", "repo", "path", "commit", "stars", "flag"]),
+        KEYS)
+
+    # string probe against a long column: must match the typed probe
+    for probe in (5, "5"):
+        got = read_current(t, value_eq={"stars": probe}).count()
+        assert got == sum(1 for i in range(80) if i % 7 == 5), probe
+    for probe in (True, "true"):
+        got = read_current(t, value_eq={"flag": probe}).count()
+        assert got == 40, probe
+    # uncoercible probe: no pruning, row filter decides (empty, no crash)
+    assert read_current(t, value_eq={"stars": "not-a-number"}).count() == 0
+
+    # unsupported stats-col types refused at create
+    from pyspark.sql.types import DoubleType
+    bad = StructType(list(schema.fields)
+                     + [StructField("score", DoubleType())])
+    with pytest.raises(ValueError, match="string/integer/boolean"):
+        LakeTable.create(spark, tmp_table_dir + "/bad", bad, KEYS,
+                         stats_cols=["score"])
