@@ -404,8 +404,10 @@ def cmd_fingerprint(args) -> int:
     _resolve_table(args)
     spark = _get_session(args)
     table = LakeTable(spark, args.table)
-    out = table_fingerprint(
-        table, version=args.version or None, algo=args.algo)
+    version = args.version or None
+    if getattr(args, "tag", ""):
+        version = table.resolve_tag(args.tag)
+    out = table_fingerprint(table, version=version, algo=args.algo)
     print(json.dumps(out))
     return 0
 
@@ -461,6 +463,29 @@ def cmd_pull(args) -> int:
         merge_mode=args.merge_mode, compact_every=args.compact_every,
     )
     print(json.dumps(out))
+    return 0
+
+
+def cmd_tag(args) -> int:
+    """Named snapshot refs (≙ Iceberg tags; no Spark needed): set pins a
+    version under a stable name, retention keeps tagged versions forever
+    (expire_snapshots skips them), list/drop manage the refs."""
+    from gobblin_spark.lakehouse import LakeTable
+
+    _resolve_table(args)
+    table = LakeTable(None, args.table)
+    if args.action == "set":
+        if not args.name:
+            raise SystemExit("tag set requires --name")
+        v = table.set_tag(args.name, args.version or None)
+        print(json.dumps({"tag": args.name, "version": v}))
+    elif args.action == "drop":
+        if not args.name:
+            raise SystemExit("tag drop requires --name")
+        table.drop_tag(args.name)
+        print(json.dumps({"dropped": args.name}))
+    else:
+        print(json.dumps(table.tags(), indent=2))
     return 0
 
 
@@ -532,8 +557,10 @@ def cmd_export(args) -> int:
     spark = _get_session(args)
     table = LakeTable(spark, args.table)
     where = dict(kv.split("=", 1) for kv in (args.where or []))
-    df = read_current(table, version=args.version or None,
-                      value_eq=where or None)
+    version = args.version or None
+    if getattr(args, "tag", ""):
+        version = table.resolve_tag(args.tag)
+    df = read_current(table, version=version, value_eq=where or None)
     import pyspark.sql.functions as F
     from pyspark.sql.observation import Observation
 
@@ -998,6 +1025,7 @@ def main(argv: list[str] | None = None) -> int:
     fp.add_argument("--catalog", default="")
     fp.add_argument("--version", type=int, default=0,
                     help="snapshot version (default: current)")
+    fp.add_argument("--tag", default="", help="fingerprint at a named tag")
     fp.add_argument("--algo", choices=["sha256", "xxhash64"],
                     default="sha256")
     fp.add_argument("--local-cores", type=int, default=0)
@@ -1015,6 +1043,19 @@ def main(argv: list[str] | None = None) -> int:
     vf.add_argument("--algo", choices=["sha256", "xxhash64"],
                     default="sha256")
     vf.add_argument("--local-cores", type=int, default=0)
+
+    tg = sub.add_parser(
+        "tag",
+        help="named snapshot refs: set/list/drop; tagged versions are "
+             "retention-pinned (expire never drops them); no Spark needed",
+    )
+    tg.add_argument("action", choices=["set", "list", "drop"])
+    tg.add_argument("--table", required=True,
+                    help="LakeTable root, or a catalog NAME with --catalog")
+    tg.add_argument("--catalog", default="")
+    tg.add_argument("--name", default="")
+    tg.add_argument("--version", type=int, default=0,
+                    help="version to pin (default: current)")
 
     dl = sub.add_parser(
         "delete",
@@ -1057,6 +1098,7 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["parquet", "orc", "json", "csv", "text",
                              "avro"])
     xp.add_argument("--version", type=int, default=0)
+    xp.add_argument("--tag", default="", help="read at a named tag")
     xp.add_argument("--where", action="append", default=[],
                     help="equality predicate col=value (repeatable; "
                          "string-typed comparison)")
@@ -1213,7 +1255,7 @@ def main(argv: list[str] | None = None) -> int:
             "compact": cmd_compact,
             "fingerprint": cmd_fingerprint, "verify": cmd_verify,
             "rescale": cmd_rescale, "export": cmd_export,
-            "delete": cmd_delete, "purge": cmd_purge,
+            "delete": cmd_delete, "purge": cmd_purge, "tag": cmd_tag,
             "vacuum": cmd_vacuum, "dedup": cmd_dedup,
             "changes": cmd_changes, "expire": cmd_expire,
             "history": cmd_history, "rollback": cmd_rollback,

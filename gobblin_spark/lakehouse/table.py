@@ -1087,6 +1087,54 @@ class LakeTable:
         return {r["b"] for r in rows}
 
     # ------------------------------------------------------------- maintain
+    # ------------------------------------------------------------- tags
+    # Named snapshot refs (≙ Iceberg tags): a tag pins a version under a
+    # stable name — consumers read "release-1" instead of remembering v41,
+    # and RETENTION RESPECTS TAGS (expire_snapshots never drops a tagged
+    # version, so the pin is durable, not advisory). One JSON doc per tag
+    # under _meta/tags/, written with write_replace (last set wins,
+    # atomic on every CommitFs impl).
+    @property
+    def _tags_dir(self) -> str:
+        return os.path.join(self._meta_dir, "tags")
+
+    def set_tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: current) under ``name``. Overwrites an
+        existing tag (LWW, like catalog registration)."""
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"bad tag name: {name!r}")
+        v = int(version) if version else self.current_version()
+        if v is None or not self.fs.exists(self._manifest_path(v)):
+            raise ValueError(f"no snapshot v{v} to tag")
+        self.fs.makedirs(self._tags_dir)
+        doc = json.dumps({"name": name, "version": v,
+                          "created_ms": int(time.time() * 1000)})
+        self.fs.write_replace(doc.encode(),
+                              os.path.join(self._tags_dir, f"{name}.json"))
+        return v
+
+    def tags(self) -> dict[str, int]:
+        if not self.fs.exists(self._tags_dir):
+            return {}
+        out = {}
+        for n in self.fs.listdir(self._tags_dir):
+            if n.endswith(".json"):
+                d = json.loads(self.fs.read(
+                    os.path.join(self._tags_dir, n)))
+                out[d["name"]] = int(d["version"])
+        return out
+
+    def resolve_tag(self, name: str) -> int:
+        p = os.path.join(self._tags_dir, f"{name}.json")
+        if not self.fs.exists(p):
+            raise KeyError(f"no tag {name!r}")
+        return int(json.loads(self.fs.read(p))["version"])
+
+    def drop_tag(self, name: str) -> None:
+        p = os.path.join(self._tags_dir, f"{name}.json")
+        if self.fs.exists(p):
+            self.fs.remove(p)
+
     def expire_snapshots(
         self, keep_last: int = 1, older_than_ms: int | None = None
     ) -> list[int]:
@@ -1106,16 +1154,19 @@ class LakeTable:
         manifests); the actual file reclaim stays vacuum's job, so a crash
         between the two is harmless (expired-but-unvacuumed files are just
         orphans). Time travel and ``table_changes`` to expired versions
-        raise FileNotFoundError."""
+        raise FileNotFoundError. TAGGED versions are always kept — a tag
+        is a durable retention pin, not advisory metadata."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        pinned = set(self.tags().values())
         versions = self.versions()
         candidates = versions[:-keep_last] if keep_last else versions
         expired = [
             v
             for v in candidates
-            if older_than_ms is None
-            or self.snapshot(v).timestamp_ms < older_than_ms
+            if v not in pinned
+            and (older_than_ms is None
+                 or self.snapshot(v).timestamp_ms < older_than_ms)
         ]
         for v in expired:
             self.fs.remove(self._manifest_path(v))
