@@ -88,8 +88,27 @@ def probe_core(core: int, seconds: float) -> dict:
         _ = bytes(big)
         copies += 1
     bw = copies * 32 / max(1e-9, time.time() - t0)
+    # RESIDENT-SET probe: a 512 MB/core streaming copy. The 32 MB copy
+    # above can be LLC-resident (this VM reports 260 MB L3) and so misses
+    # the failure mode measured in round 4: the host demand-pages guest
+    # memory beyond a small resident budget (~2.5 GB at its worst), where
+    # per-core streaming collapses from ~2.4 GB/s to ~0.16 GB/s. When the
+    # concurrent per-leg total (n_cores x 512 MB) crosses that budget,
+    # THIS number collapses — recording whether the leg about to run can
+    # physically hold its working set.
+    big2 = bytearray(512 * 1024 * 1024)
+    for i in range(0, len(big2), 4096):
+        big2[i] = 1
+    t0 = time.time()
+    copies = 0
+    while time.time() - t0 < seconds / 2:
+        _ = bytes(big2)
+        copies += 1
+    bw2 = copies * 512 * 2 / max(1e-9, time.time() - t0)
+    del big2
     return {"core": core, "sha_iters_per_s": round(it / (seconds / 2), 0),
-            "copy_mb_per_s": round(bw, 1)}
+            "copy_mb_per_s": round(bw, 1),
+            "stream512_mb_per_s": round(bw2, 1)}
 
 
 def probe_supply(n_cores: int, seconds: float = 4.0) -> dict:
@@ -112,6 +131,10 @@ def probe_supply(n_cores: int, seconds: float = 4.0) -> dict:
         "copy_mb_per_s_total": round(sum(c["copy_mb_per_s"] for c in cores), 1),
         "per_core_min_sha": min(c["sha_iters_per_s"] for c in cores),
         "per_core_max_sha": max(c["sha_iters_per_s"] for c in cores),
+        "stream512_mb_per_s_total": round(
+            sum(c.get("stream512_mb_per_s", 0) for c in cores), 1),
+        "stream512_per_core_min": round(
+            min(c.get("stream512_mb_per_s", 0) for c in cores), 1),
     }
 
 
@@ -148,6 +171,12 @@ def run_worker(cpus: int, shards: int, shard: int, events_path: str,
                go_epoch: float) -> None:
     """One executor: full engine loop over its event_group shard. Warms up
     one batch, blocks until the common go time, then runs timed batches."""
+    # BENCH_WORKER_MEM sizes the EXECUTOR JVM heaps independently of the
+    # (32-core, generation-heavy) materialize session — needed to measure
+    # scaling inside a constrained host resident-memory budget (see
+    # BENCH/BASELINE.md §6)
+    if os.environ.get("BENCH_WORKER_MEM"):
+        os.environ["SPARK_DRIVER_MEM"] = os.environ["BENCH_WORKER_MEM"]
     import pyspark.sql.functions as F
 
     from gobblin_spark.engine import CdcEngine
