@@ -55,19 +55,31 @@ def host_supply_probe(n_cores: int = 8, seconds: float = 3.0) -> dict:
         " n+=200\n"
         "big=bytearray(32*1024*1024);t0=time.time();t=t0+s/2;m=0\n"
         "while time.time()<t: _=bytes(big);m+=1\n"
-        "print(n/(s/2), m*32/max(1e-9,time.time()-t0))\n"
+        "bw=m*32/max(1e-9,time.time()-t0)\n"
+        # RESIDENT-SET control (512 MB/core streaming): the 32 MB copy can
+        # be LLC-resident (260 MB L3 here) and misses the round-4 failure
+        # mode — the host demand-paging guest memory beyond a small hot
+        # budget, where streaming collapses 40-60x while sha/copy stay
+        # normal (BENCH/BASELINE.md section 6, host_memory_budget_probe)
+        "big2=bytearray(512*1024*1024)\n"
+        "for i in range(0,len(big2),4096): big2[i]=1\n"
+        "t0=time.time();t=t0+s/2;m=0\n"
+        "while time.time()<t: _=bytes(big2);m+=1\n"
+        "print(n/(s/2), bw, m*512*2/max(1e-9,time.time()-t0))\n"
     )
     procs = [subprocess.Popen([sys.executable, "-c", code, str(c), str(seconds)],
                               stdout=subprocess.PIPE, text=True)
              for c in range(n_cores)]
-    sha = bw = 0.0
+    sha = bw = st = 0.0
     for p in procs:
         out, _ = p.communicate()
-        a, b = out.split()
+        a, b, c_ = out.split()
         sha += float(a)
         bw += float(b)
+        st += float(c_)
     return {"n_cores": n_cores, "sha_iters_per_s": round(sha, 0),
-            "copy_mb_per_s": round(bw, 1)}
+            "copy_mb_per_s": round(bw, 1),
+            "stream512_mb_per_s": round(st, 1)}
 
 
 def main() -> None:
