@@ -1,0 +1,340 @@
+"""Incrementally-maintained aggregate views over a CDC table's changelog.
+
+The CDC-native derived table: a downstream LakeTable keyed by GROUP columns
+holding per-group ``n_rows`` (COUNT(*)) and ``sum_<col>`` / ``nn_<col>``
+(SUM and non-null count per configured numeric column) over the upstream's
+visible LWW state — maintained by consuming `table_changes` with
+preimages instead of re-aggregating the table (classic incremental view
+maintenance via signed retractions).
+
+≙ the reference's publish-then-recompute chain for derived datasets (a
+downstream Gobblin job re-reading whole time partitions that recompaction
+republished, MRCompactor.java:147-157): here the derived state advances by
+exactly the rows whose visible state changed.
+
+Per sync step (crash-safe at every point, exactly-once):
+1. from_v = the view's committed source-version watermark (StateStore
+   commit log, single lane); first run = BOOTSTRAP: one full aggregate of
+   the upstream's current state into a fresh view table.
+2. changes = table_changes(upstream, from_v, to_v, emit_preimages=True).
+   Signed weight: +1 for insert/update_postimage, -1 for
+   delete/update_preimage. Group deltas = one groupBy over the changes:
+   d_n = sum(w), d_sum_c = sum(w*c), d_nn_c = sum(w*(c is not null)).
+3. Old totals for ONLY the affected groups: the deltas' group keys hash to
+   a set of view buckets (driver-side O(buckets) collect); the view is
+   read bucket-pruned and joined full_outer with the deltas. New totals =
+   old (+) delta; a group whose n_rows reaches 0 becomes a tombstone.
+4. merge_lww the upserts into the view at seq = to_v (monotone across
+   syncs) with snapshot property ``agg_source_version = to_v``; then
+   commit the watermark to the state store. A crash between the two
+   commits reruns the same range and SKIPS the apply (the view's latest
+   snapshot already records ``agg_source_version >= to_v``) — the delta is
+   never applied twice.
+
+Scale shape (100 TB upstream): each step reads O(changed buckets) of the
+upstream twice (the diff), shuffles O(changed rows) once into O(touched
+groups) delta rows, reads O(touched view buckets) of the view, and writes
+O(touched view buckets) — never O(table) after bootstrap.
+
+Semantics notes:
+- COUNT(*) / SUM(col) with SQL null semantics: n_rows counts rows;
+  sum_<col> ignores nulls and is NULL when the group has no non-null
+  values (the per-column non-null count ``nn_<col>`` makes that exact
+  under retractions).
+- Integer sums are exact. Float sums accumulate retraction round-off
+  drift relative to a from-scratch aggregate (standard IVM caveat) —
+  prefer integer/decimal measures for bit-stable views.
+- NULL group values are refused (Spark's null-unsafe join equality cannot
+  maintain a null group; SQL GROUP BY would). One cheap probe per sync.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StructField, StructType
+
+from gobblin_spark.lakehouse import LakeTable
+from gobblin_spark.lakehouse.merge import (
+    DELETED_COL, SEQ_COL, merge_lww, stored_reduce, table_changes,
+)
+from gobblin_spark.state.store import StateStore, WorkUnitState
+
+_GROUP = 0  # the view's single watermark lane
+_PRE = "update_preimage"
+_POST = "update_postimage"
+
+# sum result type per source column type (Spark's SUM typing)
+_SUM_TYPES = {
+    "integer": "long", "long": "long", "short": "long", "byte": "long",
+    "float": "double", "double": "double",
+}
+
+
+def _view_schema(src_schema: StructType, group_cols: Sequence[str],
+                 sum_cols: Sequence[str]) -> StructType:
+    by_name = {f.name: f for f in src_schema.fields}
+    missing = [c for c in (*group_cols, *sum_cols) if c not in by_name]
+    if missing:
+        raise ValueError(f"columns not in source schema: {missing}")
+    bad = [c for c in sum_cols
+           if by_name[c].dataType.typeName() not in _SUM_TYPES]
+    if bad:
+        raise ValueError(
+            f"sum_cols must be numeric (int/long/float/double): {bad}")
+    overlap = set(group_cols) & set(sum_cols)
+    if overlap:
+        raise ValueError(f"columns cannot be both group and sum: {overlap}")
+    from pyspark.sql.types import BooleanType, DoubleType
+
+    sum_type = {"long": LongType(), "double": DoubleType()}
+    fields = [StructField(c, by_name[c].dataType) for c in group_cols]
+    fields.append(StructField("n_rows", LongType()))
+    for c in sum_cols:
+        fields.append(StructField(
+            f"sum_{c}",
+            sum_type[_SUM_TYPES[by_name[c].dataType.typeName()]]))
+        fields.append(StructField(f"nn_{c}", LongType()))
+    # stored-row meta columns (LakeTable.create takes the STORED schema)
+    fields.append(StructField(SEQ_COL, LongType()))
+    fields.append(StructField(DELETED_COL, BooleanType()))
+    return StructType(fields)
+
+
+def _delta(changes: DataFrame, group_cols: Sequence[str],
+           sum_cols: Sequence[str], change_col: str = "_change_type",
+           ) -> DataFrame:
+    w = (F.when(F.col(change_col).isin("insert", _POST), F.lit(1))
+         .otherwise(F.lit(-1)).cast("long"))
+    aggs = [F.sum(w).alias("d_n")]
+    for c in sum_cols:
+        aggs.append(F.sum(w * F.col(c)).alias(f"d_sum_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNotNull(), w).otherwise(F.lit(0)))
+            .alias(f"d_nn_{c}"))
+    return changes.groupBy(*group_cols).agg(*aggs)
+
+
+def _combine(old: DataFrame, delta: DataFrame,
+             group_cols: Sequence[str], sum_cols: Sequence[str]) -> DataFrame:
+    """new totals = old (+) delta, full_outer per group. Returns merge-ready
+    rows: op='D' tombstone when the group's row count reaches zero."""
+    o, d = old.alias("vo"), delta.alias("vd")
+    j = d.join(o, on=list(group_cols), how="left")
+    z = F.lit(0).cast("long")
+    n_new = F.coalesce(F.col("vo.n_rows"), z) + F.col("vd.d_n")
+    sel = list(group_cols) + [n_new.alias("n_rows")]
+    for c in sum_cols:
+        nn_new = (F.coalesce(F.col(f"vo.nn_{c}"), z)
+                  + F.col(f"vd.d_nn_{c}"))
+        s_new = (F.coalesce(F.col(f"vo.sum_{c}"), F.lit(0))
+                 + F.coalesce(F.col(f"vd.d_sum_{c}"), F.lit(0)))
+        # SQL SUM over a group with zero non-null values is NULL
+        sel.append(F.when(nn_new > 0, s_new).alias(f"sum_{c}"))
+        sel.append(nn_new.alias(f"nn_{c}"))
+    out = j.select(*sel)
+    return out.withColumn(
+        "op", F.when(F.col("n_rows") <= 0, F.lit("D")).otherwise(F.lit("U")))
+
+
+def agg_sync(
+    spark: SparkSession,
+    source_root: str,
+    state_root: str,
+    view_root: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    n_buckets: int = 32,
+    fs=None,
+) -> dict[str, Any]:
+    """One maintenance step: advance the aggregate view from its committed
+    source-version watermark to the upstream's current version. Rerunning
+    is a no-op until the upstream advances. The spec (group_cols/sum_cols)
+    is pinned at bootstrap and validated on every later call."""
+    group_cols = list(group_cols)
+    sum_cols = list(sum_cols)
+    src = LakeTable(spark, source_root, fs=fs)
+    store = StateStore(state_root, fs=fs)
+    to_v = src.current_version()
+    if to_v is None:
+        raise ValueError(f"no table at {source_root}")
+    src_snap = src.snapshot()
+    schema = _view_schema(src_snap.schema, group_cols, sum_cols)
+
+    wm = store.last_committed_watermarks().get(_GROUP)
+    bid = f"aggsync-v{to_v:010d}"
+    t0 = time.time()
+
+    # The view's OWN `agg_source_version` snapshot property is the
+    # authoritative "applied" cursor (the view commit precedes the log
+    # commit, so applied >= watermark always): a crash between the two,
+    # followed by upstream advances, must resume the changelog from
+    # APPLIED — resuming from the watermark would re-apply the
+    # already-applied range (double-counted retractions). Inspected BEFORE
+    # the no-op skips so a mis-specified poll errors instead of silently
+    # skipping.
+    view: LakeTable | None = None
+    applied = -1
+    if LakeTable.exists(view_root, fs=fs):
+        view = LakeTable(spark, view_root, fs=fs)
+        vsnap0 = view.snapshot()
+        applied = int(vsnap0.properties.get("agg_source_version", -1))
+        if applied >= 0:
+            _check_spec(view, group_cols, sum_cols)
+            src_of = vsnap0.properties.get("agg_view_of")
+            if src_of is not None and src_of != src.root:
+                raise ValueError(
+                    f"view at {view_root} is maintained from {src_of}, "
+                    f"not {source_root}")
+        elif vsnap0.files:
+            raise ValueError(
+                f"table at {view_root} has data but no "
+                "agg_source_version — not an aggregate view of anything; "
+                "refusing to adopt it")
+        # else: empty crash-remnant from a bootstrap that died between
+        # create and merge — safe to bootstrap INTO it
+
+    if wm is not None and int(wm) >= to_v:
+        return {"from_version": int(wm), "to_version": to_v,
+                "groups_touched": 0, "skipped": True}
+    if store.is_committed(bid):
+        return {"from_version": int(wm) if wm is not None else None,
+                "to_version": to_v, "groups_touched": 0, "skipped": True}
+
+    unit = WorkUnitState(
+        workunit_id=f"{bid}-g{_GROUP}", batch_id=bid, event_group=_GROUP,
+        low_seq=int(wm) if wm is not None else to_v, high_seq=to_v)
+    store.begin_batch(bid, [unit])
+
+    if applied < 0:
+        view, n_groups = _bootstrap(
+            spark, src, view_root, schema, group_cols, sum_cols,
+            n_buckets, to_v, fs, reuse=view)
+    elif applied >= to_v:
+        n_groups = 0  # crash landed between view commit and log commit
+    else:
+        n_groups = _apply_range(
+            spark, src, view, group_cols, sum_cols, applied, to_v)
+
+    unit.rows_read = n_groups
+    unit.rows_written = n_groups
+    unit.wall_ms = int((time.time() - t0) * 1000)
+    store.commit_batch(bid, [unit], snapshot_version=to_v,
+                       metrics={"kind": "agg_sync", "groups": n_groups,
+                                "view": view_root})
+    return {"from_version": int(wm) if wm is not None else None,
+            "to_version": to_v, "groups_touched": n_groups,
+            "skipped": False}
+
+
+def _check_spec(view: LakeTable, group_cols, sum_cols) -> None:
+    snap = view.snapshot()
+    want = list(group_cols) + ["n_rows"] + [
+        x for c in sum_cols for x in (f"sum_{c}", f"nn_{c}")]
+    have = [f.name for f in snap.schema.fields
+            if f.name not in (SEQ_COL, DELETED_COL)]
+    if have != want:
+        raise ValueError(
+            f"view spec mismatch: view has {have}, call wants {want}")
+
+
+def _refuse_null_groups(df: DataFrame, group_cols) -> None:
+    """df must be SMALL (one row per touched group) and already persisted —
+    the probe is an O(groups) filter, not a table scan."""
+    pred = None
+    for c in group_cols:
+        p = F.col(c).isNull()
+        pred = p if pred is None else (pred | p)
+    if df.filter(pred).limit(1).count() > 0:
+        raise ValueError(
+            f"NULL group value in {list(group_cols)}: aggregate views "
+            "cannot maintain a null group (null-unsafe join equality)")
+
+
+def _bootstrap(spark, src: LakeTable, view_root: str, schema: StructType,
+               group_cols, sum_cols, n_buckets: int, to_v: int, fs,
+               reuse: LakeTable | None = None):
+    """First run: ONE full aggregate of the upstream's visible state at
+    to_v, written as the view's initial contents. ``reuse`` is an empty
+    crash-remnant view table (created, never written) to write into."""
+    from gobblin_spark.lakehouse.merge import read_current
+
+    state = read_current(src, version=to_v)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in sum_cols:
+        aggs.append(F.sum(c).alias(f"sum_{c}"))
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+    totals = (state.groupBy(*group_cols).agg(*aggs)
+              .withColumn("op", F.lit("U"))
+              .persist())  # one full aggregate: probed, then written
+    try:
+        _refuse_null_groups(totals, group_cols)
+        if reuse is not None:
+            view = reuse
+        else:
+            view = LakeTable.create(
+                spark, view_root, schema, list(group_cols),
+                n_buckets=n_buckets, fs=fs,
+                properties={"agg_view_of": src.root,
+                            "agg_group_cols": list(group_cols),
+                            "agg_sum_cols": list(sum_cols)})
+        snap = merge_lww(
+            view, totals.withColumn("seq", F.lit(to_v).cast("long")),
+            list(group_cols),
+            properties={"agg_source_version": to_v,
+                        "agg_view_of": src.root,
+                        "agg_group_cols": list(group_cols),
+                        "agg_sum_cols": list(sum_cols)})
+    finally:
+        totals.unpersist()
+    return view, sum(f.rows for f in snap.files if f.rows)
+
+
+def _apply_range(spark, src: LakeTable, view: LakeTable, group_cols,
+                 sum_cols, from_v: int, to_v: int) -> int:
+    changes = table_changes(src, from_v, to_v, emit_preimages=True)
+    # the per-group delta is one row per touched group — persist it so the
+    # diff join is evaluated ONCE across the null probe, the bucket
+    # collect, and the view write
+    delta = _delta(changes, group_cols, sum_cols).persist()
+    try:
+        _refuse_null_groups(delta, group_cols)
+        # affected view buckets: driver-side O(n_buckets) collect — the
+        # view read below prunes to them
+        touched = view.buckets_of(delta)
+        if not touched:
+            # upstream advanced with zero visible row changes (e.g. pure
+            # compaction commits) — still advances the watermark, writes
+            # nothing
+            return 0
+        vsnap = view.snapshot()
+        old = stored_reduce(vsnap, view.read(buckets=touched),
+                            list(group_cols))
+        old = (old.filter(~F.col(DELETED_COL))
+                  .drop(DELETED_COL, SEQ_COL))
+        upserts = _combine(old, delta, group_cols, sum_cols)
+        from pyspark.sql.observation import Observation
+        obs = Observation(f"aggsync-{to_v}")
+        upserts = upserts.observe(obs, F.count(F.lit(1)).alias("n"))
+        merge_lww(
+            view, upserts.withColumn("seq", F.lit(to_v).cast("long")),
+            list(group_cols),
+            properties={"agg_source_version": to_v},
+            expected_version=vsnap.version)
+        return int(obs.get["n"])
+    finally:
+        delta.unpersist()
+
+
+def read_view(spark: SparkSession, view_root: str, fs=None) -> DataFrame:
+    """The view's visible state with internal ``nn_*`` columns dropped —
+    exactly the GROUP BY result a from-scratch aggregate would produce."""
+    from gobblin_spark.lakehouse.merge import read_current
+
+    view = LakeTable(spark, view_root, fs=fs)
+    df = read_current(view)
+    return df.drop(*[c for c in df.columns if c.startswith("nn_")])

@@ -182,6 +182,26 @@ def cmd_sync(args) -> int:
     return 0
 
 
+def cmd_agg_sync(args) -> int:
+    """Incrementally-maintained aggregate view: advance a downstream
+    per-group COUNT/SUM table from the upstream's changelog (preimage
+    retractions), exactly-once (own watermark under --state)."""
+    from gobblin_spark.aggview import agg_sync
+
+    if not args.state:
+        raise SystemExit("agg-sync needs its own --state root (never the "
+                         "ingest's)")
+    _resolve_table(args)
+    spark = _get_session(args)
+    res = agg_sync(
+        spark, args.table, args.state, args.view,
+        group_cols=[c for c in args.group_cols.split(",") if c],
+        sum_cols=[c for c in args.sum_cols.split(",") if c],
+        n_buckets=args.buckets)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_replay_errors(args) -> int:
     """Dead-letter replay: re-merge quarantined err-file rows at their
     ORIGINAL seq (LWW keeps newer data authoritative), skipping rows at or
@@ -1231,6 +1251,28 @@ def main(argv: list[str] | None = None) -> int:
                          "first snapshot = full-snapshot initial sync)")
     sy.add_argument("--local-cores", type=int, default=0)
 
+    ag = sub.add_parser(
+        "agg-sync",
+        help="incrementally-maintained aggregate view: per-group "
+             "COUNT/SUM table advanced from the upstream changelog "
+             "(preimage retractions), exactly-once (own watermark under "
+             "--state)",
+    )
+    ag.add_argument("--table", required=True,
+                    help="upstream LakeTable root, or a catalog NAME with "
+                         "--catalog")
+    ag.add_argument("--catalog", default="")
+    ag.add_argument("--state", default="",
+                    help="the VIEW's own state root (not the ingest's)")
+    ag.add_argument("--view", required=True, help="view LakeTable root")
+    ag.add_argument("--group-cols", required=True,
+                    help="comma-separated GROUP BY columns (the view's key)")
+    ag.add_argument("--sum-cols", default="",
+                    help="comma-separated numeric columns to SUM")
+    ag.add_argument("--buckets", type=int, default=32,
+                    help="view bucket count (bootstrap only)")
+    ag.add_argument("--local-cores", type=int, default=0)
+
     ca = sub.add_parser(
         "catalog",
         help="named-table registry CRUD (register/list/describe/drop); "
@@ -1260,7 +1302,7 @@ def main(argv: list[str] | None = None) -> int:
             "changes": cmd_changes, "expire": cmd_expire,
             "history": cmd_history, "rollback": cmd_rollback,
             "stream": cmd_stream,
-            "sync": cmd_sync,
+            "sync": cmd_sync, "agg-sync": cmd_agg_sync,
             "catalog": cmd_catalog,
             "curate": cmd_curate}[args.cmd](args)
 

@@ -1025,6 +1025,7 @@ def table_changes(
     from_version: int,
     to_version: int | None = None,
     change_col: str = "_change_type",
+    emit_preimages: bool = False,
 ) -> DataFrame:
     """Incremental changelog read: the row-level changes between two
     committed snapshots (≙ Iceberg's ``changes`` incremental read; the
@@ -1043,6 +1044,13 @@ def table_changes(
       tombstone's ``__seq`` (the deleting event) but the DELETED ROW'S
       payload wherever the tombstone is null — consumers get the image of
       what was removed, Iceberg-changelog style.
+
+    ``emit_preimages=True`` (≙ Delta Lake CDF): updates emit TWO rows —
+    'update_preimage' (old payload + old seq) and 'update_postimage' — and
+    delete rows carry strictly the old image, so derived-state consumers
+    (incremental aggregates, secondary indexes — see aggview.agg_sync) can
+    retract old contributions exactly. Same single diff join, images
+    exploded from one array — never evaluated twice.
 
     Scale shape (100 TB): bucket-pruned — a bucket whose manifest file set
     is IDENTICAL at both versions is untouched (its visible state is a pure
@@ -1127,18 +1135,62 @@ def table_changes(
         )
     else:
         ident_changed = F.col(f"n.{SEQ_COL}") != F.col(f"o.{SEQ_COL}")
-    change = (
-        F.when(n_live & ~o_live, F.lit("insert"))
-        .when(~n_live & o_live, F.lit("delete"))
-        .when(n_live & o_live & ident_changed, F.lit("update"))
+    if not emit_preimages:
+        change = (
+            F.when(n_live & ~o_live, F.lit("insert"))
+            .when(~n_live & o_live, F.lit("delete"))
+            .when(n_live & o_live & ident_changed, F.lit("update"))
+        )
+        sel = list(keys) + [
+            F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+            for c in payload
+        ] + [
+            F.coalesce(F.col(f"n.{SEQ_COL}"),
+                       F.col(f"o.{SEQ_COL}")).alias(SEQ_COL),
+            change.alias(change_col),
+        ]
+        return j.select(*sel).filter(F.col(change_col).isNotNull())
+
+    # Preimage mode (≙ Delta Lake CDF row types): updates emit TWO rows —
+    # 'update_preimage' (the replaced state: old payload, old seq) and
+    # 'update_postimage' — so consumers that maintain derived state
+    # (incremental aggregates, secondary indexes) can retract the old
+    # contribution and apply the new one. insert/delete rows are identical
+    # to the default mode. Single pass: one array-of-images per joined key,
+    # exploded — the diff join is never evaluated twice.
+    def _img(pay, seq_expr, label: str):
+        return F.struct(
+            *[pay(c).alias(c) for c in payload],
+            seq_expr.alias(SEQ_COL),
+            F.lit(label).alias(change_col),
+        )
+
+    img_ins = _img(lambda c: F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")),
+                   F.coalesce(F.col(f"n.{SEQ_COL}"), F.col(f"o.{SEQ_COL}")),
+                   "insert")
+    # delete payload = strictly the OLD image (the retraction a derived-
+    # state consumer must apply); a delete only fires when o was live, so
+    # the old side is always present. seq stays the deleting event's.
+    img_del = _img(lambda c: F.col(f"o.{c}"),
+                   F.coalesce(F.col(f"n.{SEQ_COL}"), F.col(f"o.{SEQ_COL}")),
+                   "delete")
+    img_pre = _img(lambda c: F.col(f"o.{c}"), F.col(f"o.{SEQ_COL}"),
+                   "update_preimage")
+    img_post = _img(lambda c: F.col(f"n.{c}"), F.col(f"n.{SEQ_COL}"),
+                    "update_postimage")
+    images = (
+        F.when(n_live & ~o_live, F.array(img_ins))
+        .when(~n_live & o_live, F.array(img_del))
+        .when(n_live & o_live & ident_changed, F.array(img_pre, img_post))
     )
-    sel = list(keys) + [
-        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c) for c in payload
-    ] + [
-        F.coalesce(F.col(f"n.{SEQ_COL}"), F.col(f"o.{SEQ_COL}")).alias(SEQ_COL),
-        change.alias(change_col),
-    ]
-    return j.select(*sel).filter(F.col(change_col).isNotNull())
+    # explode drops null arrays, so unchanged keys vanish here
+    out = j.select(*keys, F.explode(images).alias("_img"))
+    return out.select(
+        *keys,
+        *[F.col(f"_img.{c}").alias(c) for c in payload],
+        F.col(f"_img.{SEQ_COL}").alias(SEQ_COL),
+        F.col(f"_img.{change_col}").alias(change_col),
+    )
 
 
 def gc_tombstones(table: LakeTable, horizon_seq: int,

@@ -609,6 +609,73 @@ def q_cdc_sync_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate view (aggview.agg_sync): ingest
+    the stream in two halves with an agg-sync step after each — bootstrap
+    full-aggregate, then ONE incremental advance driven by preimage
+    retractions over table_changes — and the view must equal a
+    from-scratch GROUP BY over the final visible LWW state. Integer
+    measure (floor(value*1000)) keeps the sums bit-exact vs the oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType,
+    )
+
+    from gobblin_spark.aggview import agg_sync, read_view
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import merge_lww
+
+    stream = _event_cdc_stream(spark, sf_dir, round_value=False).select(
+        "seq", "op", "user_id", "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_m"),
+    )
+    w1 = stream.agg(F.floor(F.max("seq") / 2).cast("long")).first()[0]
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value_m", LongType()),
+        StructField("__seq", LongType()),
+        StructField("__deleted", BooleanType()),
+    ])
+    d = tempfile.mkdtemp(prefix="gs_aggview_")
+    try:
+        t = LakeTable.create(spark, f"{d}/table", schema, ["user_id"],
+                             n_buckets=8)
+        merge_lww(t, stream.filter(F.col("seq") <= w1), ["user_id"])
+        agg_sync(spark, f"{d}/table", f"{d}/vstate", f"{d}/view",
+                 group_cols=["event_type"], sum_cols=["value_m"],
+                 n_buckets=8)
+        merge_lww(t, stream.filter(F.col("seq") > w1), ["user_id"])
+        agg_sync(spark, f"{d}/table", f"{d}/vstate", f"{d}/view",
+                 group_cols=["event_type"], sum_cols=["value_m"],
+                 n_buckets=8)
+        out = (read_view(spark, f"{d}/view")
+               .select("event_type", "n_rows", "sum_value_m")
+               .orderBy("event_type"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_CDC_AGG_VIEW = """
+WITH ev AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS value_m
+  FROM events),
+final AS (
+  SELECT * FROM (
+    SELECT user_id, op, event_type, value_m,
+           row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) rn
+    FROM ev) WHERE rn = 1 AND op <> 'D')
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(value_m) AS BIGINT) AS sum_value_m
+FROM final GROUP BY event_type ORDER BY event_type
+"""
+
+
 SQL_CDC_VISIBLE_STATE = """
 WITH ranked AS (
   SELECT user_id, event_id AS seq,
@@ -2150,6 +2217,7 @@ QUERIES = {
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_point_lookup_mor": q_cdc_point_lookup_mor,
     "cdc_sync_downstream": q_cdc_sync_downstream,
+    "cdc_agg_view": q_cdc_agg_view,
     "cdc_table_fingerprint": q_cdc_table_fingerprint,
     "cdc_rescale_final_state": q_cdc_rescale_final_state,
     "cdc_secondary_scan": q_cdc_secondary_scan,
@@ -2211,6 +2279,10 @@ def oracle_sqls() -> dict[str, str]:
         # downstream replay of shipped changelogs must equal the upstream
         # full-replay visible state — that equality IS the sync property
         "cdc_sync_downstream": SQL_CDC_VISIBLE_STATE,
+        # the incrementally-maintained view (bootstrap + preimage
+        # retractions) must equal a from-scratch GROUP BY over the final
+        # visible state — that equality IS the IVM property
+        "cdc_agg_view": SQL_CDC_AGG_VIEW,
         "cdc_table_fingerprint": SQL_CDC_FINGERPRINT,
         # mid-stream bucket rescale must leave the final state identical
         # to the plain full replay — that invariance IS the property
