@@ -46,6 +46,12 @@ Semantics notes:
   prefer integer/decimal measures for bit-stable views.
 - NULL group values are refused (Spark's null-unsafe join equality cannot
   maintain a null group; SQL GROUP BY would). One cheap probe per sync.
+- MIN/MAX (``min_<col>``/``max_<col>``) are not invertible: inserts update
+  them monotonically (least/greatest), and ONLY groups where a retracted
+  value ties-or-beats the stored extremum are recomputed from the
+  upstream state, restricted to those groups via a broadcast semi-join —
+  zero upstream reads in the common append/update-upward regime, the
+  standard IVM treatment for non-invertible aggregates.
 """
 
 from __future__ import annotations
@@ -75,10 +81,16 @@ _SUM_TYPES = {
 }
 
 
+# orderable types MIN/MAX supports (beyond the numeric sum types)
+_MINMAX_EXTRA = {"string", "date", "timestamp"}
+
+
 def _view_schema(src_schema: StructType, group_cols: Sequence[str],
-                 sum_cols: Sequence[str]) -> StructType:
+                 sum_cols: Sequence[str],
+                 minmax_cols: Sequence[str] = ()) -> StructType:
     by_name = {f.name: f for f in src_schema.fields}
-    missing = [c for c in (*group_cols, *sum_cols) if c not in by_name]
+    missing = [c for c in (*group_cols, *sum_cols, *minmax_cols)
+               if c not in by_name]
     if missing:
         raise ValueError(f"columns not in source schema: {missing}")
     bad = [c for c in sum_cols
@@ -86,9 +98,15 @@ def _view_schema(src_schema: StructType, group_cols: Sequence[str],
     if bad:
         raise ValueError(
             f"sum_cols must be numeric (int/long/float/double): {bad}")
-    overlap = set(group_cols) & set(sum_cols)
+    bad = [c for c in minmax_cols
+           if by_name[c].dataType.typeName() not in
+           (set(_SUM_TYPES) | _MINMAX_EXTRA)]
+    if bad:
+        raise ValueError(f"minmax_cols must be orderable scalars: {bad}")
+    overlap = set(group_cols) & (set(sum_cols) | set(minmax_cols))
     if overlap:
-        raise ValueError(f"columns cannot be both group and sum: {overlap}")
+        raise ValueError(
+            f"columns cannot be both group and measure: {overlap}")
     from pyspark.sql.types import BooleanType, DoubleType
 
     sum_type = {"long": LongType(), "double": DoubleType()}
@@ -99,6 +117,9 @@ def _view_schema(src_schema: StructType, group_cols: Sequence[str],
             f"sum_{c}",
             sum_type[_SUM_TYPES[by_name[c].dataType.typeName()]]))
         fields.append(StructField(f"nn_{c}", LongType()))
+    for c in minmax_cols:
+        fields.append(StructField(f"min_{c}", by_name[c].dataType))
+        fields.append(StructField(f"max_{c}", by_name[c].dataType))
     # stored-row meta columns (LakeTable.create takes the STORED schema)
     fields.append(StructField(SEQ_COL, LongType()))
     fields.append(StructField(DELETED_COL, BooleanType()))
@@ -106,23 +127,39 @@ def _view_schema(src_schema: StructType, group_cols: Sequence[str],
 
 
 def _delta(changes: DataFrame, group_cols: Sequence[str],
-           sum_cols: Sequence[str], change_col: str = "_change_type",
-           ) -> DataFrame:
-    w = (F.when(F.col(change_col).isin("insert", _POST), F.lit(1))
-         .otherwise(F.lit(-1)).cast("long"))
+           sum_cols: Sequence[str], minmax_cols: Sequence[str] = (),
+           change_col: str = "_change_type") -> DataFrame:
+    pos = F.col(change_col).isin("insert", _POST)
+    w = F.when(pos, F.lit(1)).otherwise(F.lit(-1)).cast("long")
     aggs = [F.sum(w).alias("d_n")]
     for c in sum_cols:
         aggs.append(F.sum(w * F.col(c)).alias(f"d_sum_{c}"))
         aggs.append(
             F.sum(F.when(F.col(c).isNotNull(), w).otherwise(F.lit(0)))
             .alias(f"d_nn_{c}"))
+    for c in minmax_cols:
+        # inserted extrema feed the monotone update; retracted extrema
+        # decide whether a stored extremum may have been removed
+        aggs.append(F.min(F.when(pos, F.col(c))).alias(f"ins_min_{c}"))
+        aggs.append(F.max(F.when(pos, F.col(c))).alias(f"ins_max_{c}"))
+        aggs.append(F.min(F.when(~pos, F.col(c))).alias(f"ret_min_{c}"))
+        aggs.append(F.max(F.when(~pos, F.col(c))).alias(f"ret_max_{c}"))
     return changes.groupBy(*group_cols).agg(*aggs)
 
 
-def _combine(old: DataFrame, delta: DataFrame,
-             group_cols: Sequence[str], sum_cols: Sequence[str]) -> DataFrame:
-    """new totals = old (+) delta, full_outer per group. Returns merge-ready
-    rows: op='D' tombstone when the group's row count reaches zero."""
+def _combine(old: DataFrame, delta: DataFrame, group_cols: Sequence[str],
+             sum_cols: Sequence[str],
+             minmax_cols: Sequence[str] = ()) -> DataFrame:
+    """new totals = old (+) delta, per touched group. Returns merge-ready
+    rows: op='D' tombstone when the group's row count reaches zero.
+
+    MIN/MAX are not invertible: inserts update them monotonically
+    (least/greatest — Spark's skip nulls), but a RETRACTION that ties or
+    beats the stored extremum may have removed the extremal row, so those
+    groups get ``__rescan`` = true and the caller recomputes them from the
+    upstream state (the standard IVM treatment for non-invertible
+    aggregates). Ties are conservative — retracting one of two equal
+    minima rescans even though the min survives."""
     o, d = old.alias("vo"), delta.alias("vd")
     j = d.join(o, on=list(group_cols), how="left")
     z = F.lit(0).cast("long")
@@ -136,6 +173,16 @@ def _combine(old: DataFrame, delta: DataFrame,
         # SQL SUM over a group with zero non-null values is NULL
         sel.append(F.when(nn_new > 0, s_new).alias(f"sum_{c}"))
         sel.append(nn_new.alias(f"nn_{c}"))
+    rescan = F.lit(False)
+    for c in minmax_cols:
+        sel.append(F.least(F.col(f"vo.min_{c}"),
+                           F.col(f"vd.ins_min_{c}")).alias(f"min_{c}"))
+        sel.append(F.greatest(F.col(f"vo.max_{c}"),
+                              F.col(f"vd.ins_max_{c}")).alias(f"max_{c}"))
+        rescan = rescan | (
+            F.col(f"vd.ret_min_{c}") <= F.col(f"vo.min_{c}")) | (
+            F.col(f"vd.ret_max_{c}") >= F.col(f"vo.max_{c}"))
+    sel.append(F.coalesce(rescan, F.lit(False)).alias("__rescan"))
     out = j.select(*sel)
     return out.withColumn(
         "op", F.when(F.col("n_rows") <= 0, F.lit("D")).otherwise(F.lit("U")))
@@ -148,22 +195,30 @@ def agg_sync(
     view_root: str,
     group_cols: Sequence[str],
     sum_cols: Sequence[str] = (),
+    minmax_cols: Sequence[str] = (),
     n_buckets: int = 32,
     fs=None,
 ) -> dict[str, Any]:
     """One maintenance step: advance the aggregate view from its committed
     source-version watermark to the upstream's current version. Rerunning
-    is a no-op until the upstream advances. The spec (group_cols/sum_cols)
-    is pinned at bootstrap and validated on every later call."""
+    is a no-op until the upstream advances. The spec (group_cols/sum_cols/
+    minmax_cols) is pinned at bootstrap and validated on every later call.
+
+    MIN/MAX maintenance: inserts update extrema monotonically; only groups
+    where a RETRACTED value ties-or-beats the stored extremum are
+    recomputed from the upstream state (one scan restricted to those
+    groups — zero scans in the common append/update-upward regime)."""
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
+    minmax_cols = list(minmax_cols)
     src = LakeTable(spark, source_root, fs=fs)
     store = StateStore(state_root, fs=fs)
     to_v = src.current_version()
     if to_v is None:
         raise ValueError(f"no table at {source_root}")
     src_snap = src.snapshot()
-    schema = _view_schema(src_snap.schema, group_cols, sum_cols)
+    schema = _view_schema(src_snap.schema, group_cols, sum_cols,
+                          minmax_cols)
 
     wm = store.last_committed_watermarks().get(_GROUP)
     bid = f"aggsync-v{to_v:010d}"
@@ -184,7 +239,7 @@ def agg_sync(
         vsnap0 = view.snapshot()
         applied = int(vsnap0.properties.get("agg_source_version", -1))
         if applied >= 0:
-            _check_spec(view, group_cols, sum_cols)
+            _check_spec(view, group_cols, sum_cols, minmax_cols)
             src_of = vsnap0.properties.get("agg_view_of")
             if src_of is not None and src_of != src.root:
                 raise ValueError(
@@ -213,12 +268,13 @@ def agg_sync(
     if applied < 0:
         view, n_groups = _bootstrap(
             spark, src, view_root, schema, group_cols, sum_cols,
-            n_buckets, to_v, fs, reuse=view)
+            minmax_cols, n_buckets, to_v, fs, reuse=view)
     elif applied >= to_v:
         n_groups = 0  # crash landed between view commit and log commit
     else:
         n_groups = _apply_range(
-            spark, src, view, group_cols, sum_cols, applied, to_v)
+            spark, src, view, group_cols, sum_cols, minmax_cols,
+            applied, to_v)
 
     unit.rows_read = n_groups
     unit.rows_written = n_groups
@@ -231,10 +287,12 @@ def agg_sync(
             "skipped": False}
 
 
-def _check_spec(view: LakeTable, group_cols, sum_cols) -> None:
+def _check_spec(view: LakeTable, group_cols, sum_cols,
+                minmax_cols=()) -> None:
     snap = view.snapshot()
     want = list(group_cols) + ["n_rows"] + [
-        x for c in sum_cols for x in (f"sum_{c}", f"nn_{c}")]
+        x for c in sum_cols for x in (f"sum_{c}", f"nn_{c}")] + [
+        x for c in minmax_cols for x in (f"min_{c}", f"max_{c}")]
     have = [f.name for f in snap.schema.fields
             if f.name not in (SEQ_COL, DELETED_COL)]
     if have != want:
@@ -256,8 +314,8 @@ def _refuse_null_groups(df: DataFrame, group_cols) -> None:
 
 
 def _bootstrap(spark, src: LakeTable, view_root: str, schema: StructType,
-               group_cols, sum_cols, n_buckets: int, to_v: int, fs,
-               reuse: LakeTable | None = None):
+               group_cols, sum_cols, minmax_cols, n_buckets: int,
+               to_v: int, fs, reuse: LakeTable | None = None):
     """First run: ONE full aggregate of the upstream's visible state at
     to_v, written as the view's initial contents. ``reuse`` is an empty
     crash-remnant view table (created, never written) to write into."""
@@ -268,6 +326,9 @@ def _bootstrap(spark, src: LakeTable, view_root: str, schema: StructType,
     for c in sum_cols:
         aggs.append(F.sum(c).alias(f"sum_{c}"))
         aggs.append(F.count(c).alias(f"nn_{c}"))
+    for c in minmax_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
     totals = (state.groupBy(*group_cols).agg(*aggs)
               .withColumn("op", F.lit("U"))
               .persist())  # one full aggregate: probed, then written
@@ -281,26 +342,28 @@ def _bootstrap(spark, src: LakeTable, view_root: str, schema: StructType,
                 n_buckets=n_buckets, fs=fs,
                 properties={"agg_view_of": src.root,
                             "agg_group_cols": list(group_cols),
-                            "agg_sum_cols": list(sum_cols)})
+                            "agg_sum_cols": list(sum_cols),
+                            "agg_minmax_cols": list(minmax_cols)})
         snap = merge_lww(
             view, totals.withColumn("seq", F.lit(to_v).cast("long")),
             list(group_cols),
             properties={"agg_source_version": to_v,
                         "agg_view_of": src.root,
                         "agg_group_cols": list(group_cols),
-                        "agg_sum_cols": list(sum_cols)})
+                        "agg_sum_cols": list(sum_cols),
+                        "agg_minmax_cols": list(minmax_cols)})
     finally:
         totals.unpersist()
     return view, sum(f.rows for f in snap.files if f.rows)
 
 
 def _apply_range(spark, src: LakeTable, view: LakeTable, group_cols,
-                 sum_cols, from_v: int, to_v: int) -> int:
+                 sum_cols, minmax_cols, from_v: int, to_v: int) -> int:
     changes = table_changes(src, from_v, to_v, emit_preimages=True)
     # the per-group delta is one row per touched group — persist it so the
     # diff join is evaluated ONCE across the null probe, the bucket
     # collect, and the view write
-    delta = _delta(changes, group_cols, sum_cols).persist()
+    delta = _delta(changes, group_cols, sum_cols, minmax_cols).persist()
     try:
         _refuse_null_groups(delta, group_cols)
         # affected view buckets: driver-side O(n_buckets) collect — the
@@ -316,7 +379,11 @@ def _apply_range(spark, src: LakeTable, view: LakeTable, group_cols,
                             list(group_cols))
         old = (old.filter(~F.col(DELETED_COL))
                   .drop(DELETED_COL, SEQ_COL))
-        upserts = _combine(old, delta, group_cols, sum_cols)
+        upserts = _combine(old, delta, group_cols, sum_cols, minmax_cols)
+        if minmax_cols:
+            upserts = _patch_minmax_rescans(
+                spark, src, upserts, group_cols, minmax_cols, to_v)
+        upserts = upserts.drop("__rescan")
         from pyspark.sql.observation import Observation
         obs = Observation(f"aggsync-{to_v}")
         upserts = upserts.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -328,6 +395,52 @@ def _apply_range(spark, src: LakeTable, view: LakeTable, group_cols,
         return int(obs.get["n"])
     finally:
         delta.unpersist()
+
+
+def _patch_minmax_rescans(spark, src: LakeTable, upserts: DataFrame,
+                          group_cols, minmax_cols, to_v: int) -> DataFrame:
+    """Recompute min/max from the upstream state for the (usually empty)
+    set of groups whose stored extremum may have been retracted. The
+    rescan set is collected driver-side (it is a subset of the touched
+    groups); when empty — the common append/update-upward regime — the
+    upstream is NOT read at all. When non-empty, ONE upstream read
+    restricted to those groups (broadcast semi-join) is re-aggregated."""
+    from pyspark.sql.observation import Observation
+
+    from gobblin_spark.lakehouse.merge import read_current
+
+    upserts = upserts.persist()
+    need = (upserts.filter(F.col("__rescan") & (F.col("op") == "U"))
+            .select(*group_cols))
+    need_rows = need.collect()
+    if not need_rows:
+        return upserts  # caller drops __rescan; persist released by GC
+    need_df = F.broadcast(
+        spark.createDataFrame(need_rows, need.schema))
+    state = read_current(src, version=to_v).join(
+        need_df, on=list(group_cols), how="leftsemi")
+    aggs = []
+    for c in minmax_cols:
+        aggs.append(F.min(c).alias(f"rs_min_{c}"))
+        aggs.append(F.max(c).alias(f"rs_max_{c}"))
+    rescanned = state.groupBy(*group_cols).agg(*aggs)
+    u, r = upserts.alias("u"), rescanned.alias("r")
+    j = u.join(r, on=list(group_cols), how="left")
+    keep = [c for c in upserts.columns
+            if c not in [x for mc in minmax_cols
+                         for x in (f"min_{mc}", f"max_{mc}")]]
+    sel = [F.col(f"u.{c}").alias(c) for c in keep]
+    for c in minmax_cols:
+        # a rescanned group takes the recomputed extremum VERBATIM (it is
+        # NULL when the group has no non-null values left); non-rescanned
+        # groups keep the monotone update
+        sel.append(
+            F.when(F.col("u.__rescan"), F.col(f"r.rs_min_{c}"))
+            .otherwise(F.col(f"u.min_{c}")).alias(f"min_{c}"))
+        sel.append(
+            F.when(F.col("u.__rescan"), F.col(f"r.rs_max_{c}"))
+            .otherwise(F.col(f"u.max_{c}")).alias(f"max_{c}"))
+    return j.select(*sel)
 
 
 def read_view(spark: SparkSession, view_root: str, fs=None) -> DataFrame:

@@ -197,6 +197,7 @@ def cmd_agg_sync(args) -> int:
         spark, args.table, args.state, args.view,
         group_cols=[c for c in args.group_cols.split(",") if c],
         sum_cols=[c for c in args.sum_cols.split(",") if c],
+        minmax_cols=[c for c in args.minmax_cols.split(",") if c],
         n_buckets=args.buckets)
     print(json.dumps(res))
     return 0
@@ -1269,6 +1270,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated GROUP BY columns (the view's key)")
     ag.add_argument("--sum-cols", default="",
                     help="comma-separated numeric columns to SUM")
+    ag.add_argument("--minmax-cols", default="",
+                    help="comma-separated orderable columns to MIN/MAX "
+                         "(retraction of a stored extremum triggers a "
+                         "group-restricted upstream rescan)")
     ag.add_argument("--buckets", type=int, default=32,
                     help="view bucket count (bootstrap only)")
     ag.add_argument("--local-cores", type=int, default=0)

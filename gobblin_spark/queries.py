@@ -615,7 +615,10 @@ def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-aggregate, then ONE incremental advance driven by preimage
     retractions over table_changes — and the view must equal a
     from-scratch GROUP BY over the final visible LWW state. Integer
-    measure (floor(value*1000)) keeps the sums bit-exact vs the oracle."""
+    measure (floor(value*1000)) keeps the sums bit-exact vs the oracle.
+    MIN/MAX ride the same view: the incremental step exercises monotone
+    insert updates AND retraction-triggered group rescans (deletes and
+    group-moving updates retract extrema at sf scale)."""
     import shutil
     import tempfile
 
@@ -646,13 +649,14 @@ def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_lww(t, stream.filter(F.col("seq") <= w1), ["user_id"])
         agg_sync(spark, f"{d}/table", f"{d}/vstate", f"{d}/view",
                  group_cols=["event_type"], sum_cols=["value_m"],
-                 n_buckets=8)
+                 minmax_cols=["value_m"], n_buckets=8)
         merge_lww(t, stream.filter(F.col("seq") > w1), ["user_id"])
         agg_sync(spark, f"{d}/table", f"{d}/vstate", f"{d}/view",
                  group_cols=["event_type"], sum_cols=["value_m"],
-                 n_buckets=8)
+                 minmax_cols=["value_m"], n_buckets=8)
         out = (read_view(spark, f"{d}/view")
-               .select("event_type", "n_rows", "sum_value_m")
+               .select("event_type", "n_rows", "sum_value_m",
+                       "min_value_m", "max_value_m")
                .orderBy("event_type"))
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
@@ -671,7 +675,9 @@ final AS (
            row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) rn
     FROM ev) WHERE rn = 1 AND op <> 'D')
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(value_m) AS BIGINT) AS sum_value_m
+       CAST(SUM(value_m) AS BIGINT) AS sum_value_m,
+       CAST(MIN(value_m) AS BIGINT) AS min_value_m,
+       CAST(MAX(value_m) AS BIGINT) AS max_value_m
 FROM final GROUP BY event_type ORDER BY event_type
 """
 

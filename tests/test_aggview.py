@@ -269,6 +269,99 @@ def test_cli_agg_sync(spark, tmp_table_dir):
     assert _view_dict(spark, d + "/view") == _oracle(spark, src)
 
 
+# ------------------------------------------------------------------ min/max
+
+def _mm_oracle(spark, src):
+    state = read_current(src)
+    return {
+        r["grp"]: (r["n"], r["mn_v"], r["mx_v"], r["mn_x"], r["mx_x"])
+        for r in state.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("mn_v"), F.max("v").alias("mx_v"),
+            F.min("x").alias("mn_x"), F.max("x").alias("mx_x"),
+        ).collect()
+    }
+
+
+def _mm_view(spark, view_root):
+    return {
+        r["grp"]: (r["n_rows"], r["min_v"], r["max_v"],
+                   r["min_x"], r["max_x"])
+        for r in read_view(spark, view_root).collect()
+    }
+
+
+def test_minmax_monotone_rescan_and_nulls(spark, tmp_table_dir,
+                                          monkeypatch):
+    import gobblin_spark.lakehouse.merge as merge_mod
+
+    d = tmp_table_dir
+    src = _mk_source(spark, d + "/src", [
+        (1, "a", 10, 1.0, 1, "I"),
+        (2, "a", 10, 5.0, 2, "I"),   # duplicate min v in group a
+        (3, "a", 30, None, 3, "I"),
+        (4, "b", None, None, 4, "I"),  # all-null measures
+    ])
+    kw = dict(group_cols=["grp"], minmax_cols=["v", "x"], n_buckets=4)
+    agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
+    assert _mm_view(spark, d + "/view") == _mm_oracle(spark, src)
+    assert _mm_view(spark, d + "/view")["b"] == (1, None, None, None, None)
+
+    # insert-only advance: monotone update, the upstream must NOT be
+    # rescanned (read_current would be the only upstream re-read)
+    merge_lww(src, spark.createDataFrame(
+        [(5, "a", 2, 9.0, 5, "I")],
+        "k long, grp string, v long, x double, seq long, op string"), ["k"])
+    real_rc = merge_mod.read_current
+    monkeypatch.setattr(
+        merge_mod, "read_current",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("upstream rescanned on an insert-only advance")))
+    agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
+    monkeypatch.setattr(merge_mod, "read_current", real_rc)
+    assert _mm_view(spark, d + "/view") == _mm_oracle(spark, src)
+
+    # retract ONE of the two duplicate minima: rescan fires (conservative
+    # tie handling), result unchanged for min_v and correct overall
+    merge_lww(src, spark.createDataFrame(
+        [(2, None, None, None, 6, "D")],
+        "k long, grp string, v long, x double, seq long, op string"), ["k"])
+    agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
+    want = _mm_oracle(spark, src)
+    assert want["a"][1] == 2  # min v still 2 (the newer insert)
+    assert _mm_view(spark, d + "/view") == want
+
+    # retract the unique min AND the unique max: full rescan correctness
+    merge_lww(src, spark.createDataFrame([
+        (5, None, None, None, 7, "D"),   # v=2 (min), x=9.0 (max)
+        (3, None, None, None, 8, "D"),   # v=30 (max)
+    ], "k long, grp string, v long, x double, seq long, op string"), ["k"])
+    agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
+    want = _mm_oracle(spark, src)
+    assert want["a"] == (1, 10, 10, 1.0, 1.0)
+    assert _mm_view(spark, d + "/view") == want
+
+
+def test_minmax_group_move_retracts_old_group(spark, tmp_table_dir):
+    d = tmp_table_dir
+    src = _mk_source(spark, d + "/src", [
+        (1, "a", 1, 1.0, 1, "I"),    # group a's min
+        (2, "a", 50, 2.0, 2, "I"),
+        (3, "b", 7, 3.0, 3, "I"),
+    ])
+    kw = dict(group_cols=["grp"], sum_cols=["v"], minmax_cols=["v"],
+              n_buckets=4)
+    agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
+    # move the min row a -> b: a rescans (extremum retracted), b monotone
+    merge_lww(src, spark.createDataFrame(
+        [(1, "b", 1, 1.0, 4, "U")],
+        "k long, grp string, v long, x double, seq long, op string"), ["k"])
+    agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
+    got = {r["grp"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+           for r in read_view(spark, d + "/view").collect()}
+    assert got == {"a": (1, 50, 50, 50), "b": (2, 8, 1, 7)}
+
+
 # ---------------------------------------------------------------- preimages
 
 def test_table_changes_preimage_rows(spark, tmp_table_dir):
