@@ -203,6 +203,26 @@ def cmd_agg_sync(args) -> int:
     return 0
 
 
+def cmd_clone(args) -> int:
+    """Clone a pinned snapshot to a new root (≙ the reference's dataset
+    replication / distcp job family): executor-distributed byte copy of
+    the data files + a fresh v1 manifest; optionally copies the ingest
+    state checkpoint FIRST so a disaster-recovery clone resumes ingest
+    exactly where the source stopped."""
+    from gobblin_spark.clone import clone_table
+
+    _resolve_table(args)
+    spark = _get_session(args)
+    res = clone_table(
+        spark, args.table, args.out,
+        version=args.version or None,
+        tag=args.tag or None,
+        state_src=args.state or None,
+        state_dst=args.state_out or None)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_replay_errors(args) -> int:
     """Dead-letter replay: re-merge quarantined err-file rows at their
     ORIGINAL seq (LWW keeps newer data authoritative), skipping rows at or
@@ -1252,6 +1272,26 @@ def main(argv: list[str] | None = None) -> int:
                          "first snapshot = full-snapshot initial sync)")
     sy.add_argument("--local-cores", type=int, default=0)
 
+    cl = sub.add_parser(
+        "clone",
+        help="clone a pinned snapshot to a new root (distcp-style "
+             "distributed byte copy + fresh v1 manifest; --state/"
+             "--state-out also copy the ingest checkpoint for DR)",
+    )
+    cl.add_argument("--table", required=True,
+                    help="source LakeTable root, or a catalog NAME with "
+                         "--catalog")
+    cl.add_argument("--catalog", default="")
+    cl.add_argument("--out", required=True, help="destination table root")
+    cl.add_argument("--version", type=int, default=0,
+                    help="pin a snapshot version (default: current)")
+    cl.add_argument("--tag", default="", help="pin a named tag")
+    cl.add_argument("--state", default="",
+                    help="source state root to copy (DR)")
+    cl.add_argument("--state-out", default="",
+                    help="destination state root (DR)")
+    cl.add_argument("--local-cores", type=int, default=0)
+
     ag = sub.add_parser(
         "agg-sync",
         help="incrementally-maintained aggregate view: per-group "
@@ -1308,6 +1348,7 @@ def main(argv: list[str] | None = None) -> int:
             "history": cmd_history, "rollback": cmd_rollback,
             "stream": cmd_stream,
             "sync": cmd_sync, "agg-sync": cmd_agg_sync,
+            "clone": cmd_clone,
             "catalog": cmd_catalog,
             "curate": cmd_curate}[args.cmd](args)
 
