@@ -663,6 +663,35 @@ def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_cdc_clone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication correctness (clone.clone_table ≙ the reference's
+    dataset-replication/distcp job family): ingest the stream, CLONE the
+    table (distributed byte copy + fresh v1 manifest), read the CLONE —
+    must equal the full-replay visible state. Exercises that every piece
+    of metadata a read needs travels with the clone."""
+    import shutil
+    import tempfile
+
+    from gobblin_spark.clone import clone_table
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import merge_lww, read_current
+
+    stream = _event_cdc_stream(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="gs_clone_")
+    try:
+        t = LakeTable.create(spark, f"{d}/table", _event_table_schema(),
+                             ["user_id"], n_buckets=8)
+        merge_lww(t, stream, ["user_id"])
+        clone_table(spark, f"{d}/table", f"{d}/clone")
+        out = (read_current(LakeTable(spark, f"{d}/clone"))
+               .select("user_id", "event_type",
+                       F.round("value", 6).alias("value"))
+               .orderBy("user_id"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 SQL_CDC_AGG_VIEW = """
 WITH ev AS (
   SELECT user_id, event_id AS seq,
@@ -2224,6 +2253,7 @@ QUERIES = {
     "cdc_point_lookup_mor": q_cdc_point_lookup_mor,
     "cdc_sync_downstream": q_cdc_sync_downstream,
     "cdc_agg_view": q_cdc_agg_view,
+    "cdc_clone_roundtrip": q_cdc_clone_roundtrip,
     "cdc_table_fingerprint": q_cdc_table_fingerprint,
     "cdc_rescale_final_state": q_cdc_rescale_final_state,
     "cdc_secondary_scan": q_cdc_secondary_scan,
@@ -2289,6 +2319,9 @@ def oracle_sqls() -> dict[str, str]:
         # retractions) must equal a from-scratch GROUP BY over the final
         # visible state — that equality IS the IVM property
         "cdc_agg_view": SQL_CDC_AGG_VIEW,
+        # a clone must read back as the upstream's full-replay visible
+        # state — that equality IS the replication property
+        "cdc_clone_roundtrip": SQL_CDC_VISIBLE_STATE,
         "cdc_table_fingerprint": SQL_CDC_FINGERPRINT,
         # mid-stream bucket rescale must leave the final state identical
         # to the plain full replay — that invariance IS the property
