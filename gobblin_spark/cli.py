@@ -68,6 +68,24 @@ def _resolve_table(args) -> None:
             args.err = e.err_root
 
 
+def _maybe_resolve_name(args) -> None:
+    """clone/agg-sync: ``--table`` may be a registered catalog name OR a
+    raw path (these commands register a DIFFERENT artifact via
+    --register-as, so the ingest convention of 'register_as makes --table
+    a path' does not apply). A registered name rewrites to its table
+    root; anything else passes through as a path. No state defaulting —
+    these commands' --state flags have their own explicit semantics."""
+    cat = getattr(args, "catalog", "")
+    if not cat:
+        return
+    from gobblin_spark.catalog import Catalog, CatalogError
+
+    try:
+        args.table = Catalog(cat).get(args.table).table_root
+    except (CatalogError, FileNotFoundError, KeyError):
+        pass  # not a registered name: treat as a path
+
+
 def cmd_ingest(args) -> int:
     from gobblin_spark.engine import CdcEngine
 
@@ -191,7 +209,7 @@ def cmd_agg_sync(args) -> int:
     if not args.state:
         raise SystemExit("agg-sync needs its own --state root (never the "
                          "ingest's)")
-    _resolve_table(args)
+    _maybe_resolve_name(args)
     spark = _get_session(args)
     res = agg_sync(
         spark, args.table, args.state, args.view,
@@ -199,6 +217,14 @@ def cmd_agg_sync(args) -> int:
         sum_cols=[c for c in args.sum_cols.split(",") if c],
         minmax_cols=[c for c in args.minmax_cols.split(",") if c],
         n_buckets=args.buckets)
+    if args.register_as:
+        if not args.catalog:
+            raise SystemExit("--register-as needs --catalog")
+        from gobblin_spark.catalog import Catalog
+
+        Catalog(args.catalog).register(
+            args.register_as, args.view, state_root=args.state,
+            overwrite=True)
     print(json.dumps(res))
     return 0
 
@@ -211,7 +237,7 @@ def cmd_clone(args) -> int:
     exactly where the source stopped."""
     from gobblin_spark.clone import clone_table
 
-    _resolve_table(args)
+    _maybe_resolve_name(args)
     spark = _get_session(args)
     res = clone_table(
         spark, args.table, args.out,
@@ -219,6 +245,14 @@ def cmd_clone(args) -> int:
         tag=args.tag or None,
         state_src=args.state or None,
         state_dst=args.state_out or None)
+    if args.register_as:
+        if not args.catalog:
+            raise SystemExit("--register-as needs --catalog")
+        from gobblin_spark.catalog import Catalog
+
+        Catalog(args.catalog).register(
+            args.register_as, args.out, state_root=args.state_out,
+            overwrite=True)
     print(json.dumps(res))
     return 0
 
@@ -1290,6 +1324,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="source state root to copy (DR)")
     cl.add_argument("--state-out", default="",
                     help="destination state root (DR)")
+    cl.add_argument("--register-as", default="",
+                    help="register the CLONE in --catalog under this name")
     cl.add_argument("--local-cores", type=int, default=0)
 
     ag = sub.add_parser(
@@ -1316,6 +1352,8 @@ def main(argv: list[str] | None = None) -> int:
                          "group-restricted upstream rescan)")
     ag.add_argument("--buckets", type=int, default=32,
                     help="view bucket count (bootstrap only)")
+    ag.add_argument("--register-as", default="",
+                    help="register the VIEW in --catalog under this name")
     ag.add_argument("--local-cores", type=int, default=0)
 
     ca = sub.add_parser(

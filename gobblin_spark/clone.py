@@ -75,8 +75,11 @@ def clone_table(
     snap = src.snapshot(version)
     if LakeTable.exists(dst_root, fs=fs):
         raise ValueError(f"destination already has a table: {dst_root}")
-    if state_dst and not state_src:
-        raise ValueError("state_dst given without state_src")
+    if bool(state_src) != bool(state_dst):
+        raise ValueError(
+            "state_src and state_dst must be given together (copying a "
+            "state checkpoint without a destination, or vice versa, is "
+            "never what a DR clone means)")
 
     dst = LakeTable(spark, dst_root, fs=fs)
     dfs = dst.fs

@@ -269,6 +269,47 @@ def test_cli_agg_sync(spark, tmp_table_dir):
     assert _view_dict(spark, d + "/view") == _oracle(spark, src)
 
 
+def test_view_tails_a_streaming_ingested_table(spark, tmp_table_dir):
+    """End-to-end streaming derived data: the view tails a table that is
+    maintained by STRUCTURED-STREAMING ingest (availableNow runs), staying
+    equal to a from-scratch GROUP BY after every stream advance — the
+    changelog diff does not care who wrote the snapshots."""
+    import os
+
+    from gobblin_spark.streaming.ingest import stream_ingest
+
+    d = tmp_table_dir
+    ev = generate_change_events(
+        spark, 1500, n_repos=12, paths_per_repo=40,
+        dup_frac=0.05, delete_frac=0.08, ooo_window=120,
+    ).cache()
+    ev_dir = os.path.join(d, "events")
+    ev.filter(F.col("seq") < 800).write.mode("overwrite").parquet(ev_dir)
+
+    stream_ingest(spark, ev_dir, d + "/t", d + "/s",
+                  os.path.join(d, "ckpt")).awaitTermination()
+    agg_sync(spark, d + "/t", d + "/vstate", d + "/view",
+             group_cols=["lang"], n_buckets=8)
+
+    def check():
+        src = LakeTable(spark, d + "/t")
+        want = {r["lang"]: r["n"] for r in read_current(src)
+                .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+        got = {r["lang"]: r["n_rows"]
+               for r in read_view(spark, d + "/view").collect()}
+        assert got == want
+
+    check()
+    ev.filter(F.col("seq") >= 800).write.mode("append").parquet(ev_dir)
+    stream_ingest(spark, ev_dir, d + "/t", d + "/s",
+                  os.path.join(d, "ckpt")).awaitTermination()
+    r = agg_sync(spark, d + "/t", d + "/vstate", d + "/view",
+                 group_cols=["lang"], n_buckets=8)
+    assert not r["skipped"]
+    check()
+
+
 # ------------------------------------------------------------------ min/max
 
 def _mm_oracle(spark, src):

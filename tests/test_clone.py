@@ -160,3 +160,13 @@ def test_clone_cli(spark, tmp_table_dir):
     dst = LakeTable(spark, d + "/t2")
     assert _fp(src) == _fp(dst)
     assert dst.tags() == {}  # tags are refs into the SOURCE history
+
+    # catalog flow: resolve the SOURCE by name, register the clone
+    from gobblin_spark.catalog import Catalog
+
+    Catalog(d + "/cat").register("orig", d + "/t")
+    rc = main(["clone", "--catalog", d + "/cat", "--table", "orig",
+               "--out", d + "/t3", "--register-as", "replica"])
+    assert rc == 0
+    assert Catalog(d + "/cat").get("replica").table_root == d + "/t3"
+    assert _fp(src) == _fp(LakeTable(spark, d + "/t3"))
