@@ -364,6 +364,7 @@ def _apply_range(spark, src: LakeTable, view: LakeTable, group_cols,
     # diff join is evaluated ONCE across the null probe, the bucket
     # collect, and the view write
     delta = _delta(changes, group_cols, sum_cols, minmax_cols).persist()
+    persisted = [delta]
     try:
         _refuse_null_groups(delta, group_cols)
         # affected view buckets: driver-side O(n_buckets) collect — the
@@ -381,6 +382,11 @@ def _apply_range(spark, src: LakeTable, view: LakeTable, group_cols,
                   .drop(DELETED_COL, SEQ_COL))
         upserts = _combine(old, delta, group_cols, sum_cols, minmax_cols)
         if minmax_cols:
+            # persisted so the (diff join + view read) plan under it is
+            # evaluated once across the rescan collect and the final
+            # write; released in this function's finally
+            upserts = upserts.persist()
+            persisted.append(upserts)
             upserts = _patch_minmax_rescans(
                 spark, src, upserts, group_cols, minmax_cols, to_v)
         upserts = upserts.drop("__rescan")
@@ -394,7 +400,8 @@ def _apply_range(spark, src: LakeTable, view: LakeTable, group_cols,
             expected_version=vsnap.version)
         return int(obs.get["n"])
     finally:
-        delta.unpersist()
+        for df in persisted:
+            df.unpersist()
 
 
 def _patch_minmax_rescans(spark, src: LakeTable, upserts: DataFrame,
@@ -404,17 +411,17 @@ def _patch_minmax_rescans(spark, src: LakeTable, upserts: DataFrame,
     rescan set is collected driver-side (it is a subset of the touched
     groups); when empty — the common append/update-upward regime — the
     upstream is NOT read at all. When non-empty, ONE upstream read
-    restricted to those groups (broadcast semi-join) is re-aggregated."""
+    restricted to those groups (broadcast semi-join) is re-aggregated.
+    ``upserts`` must arrive persisted (the caller owns the release)."""
     from pyspark.sql.observation import Observation
 
     from gobblin_spark.lakehouse.merge import read_current
 
-    upserts = upserts.persist()
     need = (upserts.filter(F.col("__rescan") & (F.col("op") == "U"))
             .select(*group_cols))
     need_rows = need.collect()
     if not need_rows:
-        return upserts  # caller drops __rescan; persist released by GC
+        return upserts  # caller drops __rescan
     need_df = F.broadcast(
         spark.createDataFrame(need_rows, need.schema))
     state = read_current(src, version=to_v).join(
