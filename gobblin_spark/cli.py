@@ -669,8 +669,19 @@ def cmd_changes(args) -> int:
 
     spark = _get_session(args)
     table = LakeTable(spark, args.table)
+    from_v = args.from_version
+    if getattr(args, "from_tag", ""):
+        if from_v:
+            raise SystemExit("pass --from-version or --from-tag, not both")
+        from_v = table.resolve_tag(args.from_tag)
+    if not from_v:  # snapshot versions start at 1
+        raise SystemExit("changes needs --from-version or --from-tag")
     to_v = args.to_version if args.to_version else None
-    df = table_changes(table, args.from_version, to_v)
+    if getattr(args, "to_tag", ""):
+        if to_v:
+            raise SystemExit("pass --to-version or --to-tag, not both")
+        to_v = table.resolve_tag(args.to_tag)
+    df = table_changes(table, from_v, to_v)
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
         df = spark.read.parquet(args.out)  # count what was written
@@ -680,7 +691,7 @@ def cmd_changes(args) -> int:
             F.count(F.lit(1)).alias("n")).collect()
     }
     print(json.dumps({
-        "from_version": args.from_version,
+        "from_version": from_v,
         "to_version": to_v or table.current_version(),
         "changes": counts,
         "total": sum(counts.values()),
@@ -766,9 +777,16 @@ def cmd_rollback(args) -> int:
     from gobblin_spark.lakehouse import LakeTable
 
     table = LakeTable(None, args.table)
-    snap = table.rollback(args.to_version)
+    to_v = args.to_version
+    if getattr(args, "tag", ""):
+        if to_v:
+            raise SystemExit("pass --to-version or --tag, not both")
+        to_v = table.resolve_tag(args.tag)
+    if not to_v:
+        raise SystemExit("rollback needs --to-version or --tag")
+    snap = table.rollback(to_v)
     print(json.dumps({
-        "rolled_back_to": args.to_version,
+        "rolled_back_to": to_v,
         "new_version": snap.version,
         "files": len(snap.files),
         "rows": sum(f.rows for f in snap.files),
@@ -1191,7 +1209,11 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--table", required=True,
                     help="LakeTable root, or a catalog NAME with --catalog")
     ch.add_argument("--catalog", default="")
-    ch.add_argument("--from-version", type=int, required=True)
+    ch.add_argument("--from-version", type=int, default=0)
+    ch.add_argument("--from-tag", default="",
+                    help="start at a named tag instead of --from-version")
+    ch.add_argument("--to-tag", default="",
+                    help="end at a named tag (default: current)")
     ch.add_argument("--to-version", type=int, default=0,
                     help="default: current version")
     ch.add_argument("--out", default="", help="optional parquet sink")
@@ -1249,7 +1271,9 @@ def main(argv: list[str] | None = None) -> int:
              "no Spark needed); ingest watermarks are NOT rolled back",
     )
     rb.add_argument("--table", required=True)
-    rb.add_argument("--to-version", type=int, required=True)
+    rb.add_argument("--to-version", type=int, default=0)
+    rb.add_argument("--tag", default="",
+                    help="roll back to a named tag instead of --to-version")
 
     dd = sub.add_parser(
         "dedup",

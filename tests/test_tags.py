@@ -94,3 +94,39 @@ def test_tag_cli_and_export_at_tag(spark, tmp_table_dir, capsys):
                      "--tag", "snap-a"]) == 0
     fp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert fp["rows"] == n_at_tag
+
+
+def test_rollback_and_changes_accept_tags(spark, tmp_table_dir, capsys):
+    from tests.test_merge import new_table
+
+    d = tmp_table_dir
+    ev = make_events(spark, 1500)
+    de = data_events(ev)
+    import pyspark.sql.functions as F
+    hi = int(de.agg(F.max("seq")).first()[0])
+    t = new_table(spark, d + "/t")
+    merge_lww(t, de.filter(F.col("seq") <= hi // 2), KEYS)
+    n_half = read_current(t).count()
+    assert cli_main(["tag", "set", "--table", d + "/t",
+                     "--name", "half"]) == 0
+    capsys.readouterr()
+    merge_lww(t, de.filter(F.col("seq") > hi // 2), KEYS)
+
+    # changelog between the tag and current
+    assert cli_main(["changes", "--table", d + "/t", "--from-tag", "half",
+                     "--local-cores", "8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["from_version"] == t.resolve_tag("half")
+    assert out["total"] > 0
+
+    # rollback to the tag restores the tagged row count
+    assert cli_main(["rollback", "--table", d + "/t", "--tag", "half"]) == 0
+    capsys.readouterr()
+    assert read_current(LakeTable(spark, d + "/t")).count() == n_half
+
+    # refusals: both or neither selector
+    import pytest
+    with pytest.raises(SystemExit):
+        cli_main(["rollback", "--table", d + "/t"])
+    with pytest.raises(SystemExit):
+        cli_main(["changes", "--table", d + "/t", "--local-cores", "8"])
