@@ -22,7 +22,7 @@ Per sync step (crash-safe at every point, exactly-once):
    d_n = sum(w), d_sum_c = sum(w*c), d_nn_c = sum(w*(c is not null)).
 3. Old totals for ONLY the affected groups: the deltas' group keys hash to
    a set of view buckets (driver-side O(buckets) collect); the view is
-   read bucket-pruned and joined full_outer with the deltas. New totals =
+   read bucket-pruned and left-joined onto the deltas. New totals =
    old (+) delta; a group whose n_rows reaches 0 becomes a tombstone.
 4. merge_lww the upserts into the view at seq = to_v (monotone across
    syncs) with snapshot property ``agg_source_version = to_v``; then

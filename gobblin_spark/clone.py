@@ -28,7 +28,7 @@ copy the table before the state.
 Scale shape: the data copy is executor-distributed (one task per file
 batch, plain byte copy — the distcp analog; no decode/re-encode), the
 manifest publish is O(metadata). Copying through the driver would bound
-DR bandwidth by one NIC; this paralellizes across the cluster.
+DR bandwidth by one NIC; this parallelizes across the cluster.
 """
 
 from __future__ import annotations
