@@ -594,7 +594,17 @@ def cmd_purge(args) -> int:
     snapshots down to the current one, and vacuum the unreferenced files
     off disk. After this, neither the live table, the retained manifests,
     nor the data directory holds the deleted rows (≙ the reference's
-    retention/cleanup job family, composed into one auditable command)."""
+    retention/cleanup job family, composed into one auditable command).
+
+    Tags are durable retention pins: expire_snapshots keeps tag-pinned
+    versions and vacuum keeps the files they reference, so a tag on any
+    PRE-deletion snapshot defeats physical erasure. Purge therefore audits
+    the tag set after expiry: any tag pinning a snapshot older than the
+    delete commit is reported in ``pinned_snapshots_blocking_erasure`` and
+    the command exits 2 (erasure INCOMPLETE — drop the tags and re-run
+    purge, or pass --drop-blocking-tags to do it in one step). A
+    compliance command must fail loudly, not print success over retained
+    data."""
     from gobblin_spark.lakehouse import LakeTable
     from gobblin_spark.lakehouse.merge import (
         compact, delete_where, gc_tombstones,
@@ -607,17 +617,26 @@ def cmd_purge(args) -> int:
     if not where:
         raise SystemExit("purge requires at least one --where col=value")
     res = delete_where(table, where, seq=args.seq or None)
+    delete_version = res["snapshot_version"]
+    if getattr(args, "drop_blocking_tags", False):
+        for name, v in table.tags().items():
+            if v < delete_version:
+                table.drop_tag(name)
     compact(table)  # fold any outstanding deltas first (GC requires it)
     gc_tombstones(table, horizon_seq=res["seq"])
     expired = table.expire_snapshots(keep_last=1)
     removed = table.vacuum()
+    blocking = {name: v for name, v in table.tags().items()
+                if v < delete_version}
     print(json.dumps({
         "deleted": res["deleted"], "seq": res["seq"], "where": where,
         "snapshots_expired": len(expired),
         "files_removed": removed,
         "snapshot_version": table.current_version(),
+        "erasure_complete": not blocking,
+        "pinned_snapshots_blocking_erasure": blocking,
     }))
-    return 0
+    return 2 if blocking else 0
 
 
 def cmd_export(args) -> int:
@@ -1176,6 +1195,10 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--catalog", default="")
     pg.add_argument("--where", action="append", default=[], required=True)
     pg.add_argument("--seq", type=int, default=0)
+    pg.add_argument("--drop-blocking-tags", action="store_true",
+                    help="drop tags pinning pre-deletion snapshots so "
+                         "erasure can complete (otherwise such tags are "
+                         "reported and purge exits 2)")
     pg.add_argument("--local-cores", type=int, default=0)
 
     xp = sub.add_parser(

@@ -579,6 +579,12 @@ class CdcEngine:
         while (avg / factor > self.auto_rescale_bytes
                and snap.n_buckets * factor < (1 << 16)):
             factor *= 2
+        # clamp: a non-power-of-two spec (e.g. 48000) must not double past
+        # the documented 1<<16 ceiling
+        while factor > 1 and snap.n_buckets * factor > (1 << 16):
+            factor //= 2
+        if factor <= 1:
+            return snap
         return self.table.rescale_buckets(snap.n_buckets * factor)
 
     def _should_compact(self, snap) -> bool:

@@ -829,23 +829,27 @@ def read_current(
         df = (df.filter(~F.col(DELETED_COL))
                 .drop(DELETED_COL, SEQ_COL, CELLS_COL, DELSEQ_COL))
     if value_eq:
-        from gobblin_spark.lakehouse.table import _coerce_probe
+        from gobblin_spark.lakehouse.table import (
+            _coerce_probe, _coerce_probe_extended,
+        )
         types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
         for c, v in value_eq.items():
             if v is None:
                 df = df.filter(F.col(c).isNull())
                 continue
-            # coerce CLI-string probes to the column type; an uncoercible
-            # string probe matches nothing (ANSI mode would otherwise
-            # throw on the implicit cast inside the comparison); a typed
-            # probe of a type _coerce_probe doesn't know passes through
-            cv = _coerce_probe(v, types.get(c, "string"))
+            # coerce CLI-string probes to the column type (ANSI mode would
+            # otherwise throw on the implicit cast inside the comparison);
+            # a typed probe of a type _coerce_probe doesn't know passes
+            # through; a STRING probe on a type neither coercion knows
+            # raises — silently matching nothing would make
+            # `delete --where date_col=...` report deleted:0 and succeed
+            t = types.get(c, "string")
+            cv = _coerce_probe(v, t)
             if cv is None and not isinstance(v, str):
                 cv = v
             if cv is None:
-                df = df.filter(F.lit(False))
-            else:
-                df = df.filter(F.col(c) == F.lit(cv))
+                cv = _coerce_probe_extended(v, t)
+            df = df.filter(F.col(c) == F.lit(cv))
     return df
 
 
@@ -926,10 +930,15 @@ def table_fingerprint(
     audits): here rendered as ONE aggregate over the LWW-resolved state.
 
     algo:
-    - ``sha256`` (default): per row, sha2-256 over a canonical string
-      rendering (columns in sorted-name order, chr(31) separator, NULL
-      sentinel) — content-stable across file layout, bucket count, batch
-      order, engine version; 48 bits/row summed exactly in decimal(38,0).
+    - ``sha256`` (default): per row, sha2-256 over the concatenation of
+      fixed-length per-column digests (sha2-256 hex of each value's string
+      rendering, columns in sorted-name order; NULL rendered as a 64-char
+      non-hex sentinel no digest can equal). Fixed-length fields make the
+      rendering INJECTIVE over the row tuple — no separator character a
+      value could contain can shift field boundaries — so distinct rows
+      hash equal only with cryptographic-collision probability.
+      Content-stable across file layout, bucket count, batch order,
+      engine version; 48 bits/row summed exactly in decimal(38,0).
     - ``xxhash64``: JVM-native hash of the column values, ~10× faster at
       100 TB; stable within Spark but tied to its binary encodings.
 
@@ -939,9 +948,12 @@ def table_fingerprint(
     df = read_current(table, version)
     cols = sorted(df.columns)
     if algo == "sha256":
-        canon = F.concat_ws(
-            "\x1f",
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+        # per-column digest is always exactly 64 chars (sha2 hex, or the
+        # all-'n' NULL sentinel — 'n' is not a hex digit, so no value's
+        # digest can equal it); concat of fixed-length fields is injective
+        canon = F.concat(
+            *[F.coalesce(F.sha2(F.col(c).cast("string"), 256),
+                         F.lit("n" * 64))
               for c in cols])
         row_h = F.conv(F.substring(F.sha2(canon, 256), 1, 12), 16, 10)
     elif algo == "xxhash64":

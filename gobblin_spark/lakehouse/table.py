@@ -285,6 +285,34 @@ def _coerce_probe(value: Any, type_name: str) -> Any:
         return None
     except (TypeError, ValueError):
         return None
+
+
+def _coerce_probe_extended(value: Any, type_name: str) -> Any:
+    """Row-filter-only coercion for the probe types the bloom path doesn't
+    hash (date/timestamp/decimal): parse a CLI string into the typed Python
+    value ``F.lit`` renders correctly. Raises ValueError for a string probe
+    on a type neither coercion layer understands — the caller must surface
+    the error rather than silently filter to empty (a
+    ``delete --where date_col=2024-01-01`` that matches nothing and prints
+    success would be a silent data-retention failure)."""
+    import datetime
+    import decimal
+
+    s = str(value)
+    try:
+        if type_name == "date":
+            return datetime.date.fromisoformat(s)
+        if type_name in ("timestamp", "timestamp_ntz"):
+            return datetime.datetime.fromisoformat(s)
+        if type_name.startswith("decimal"):
+            return decimal.Decimal(s)
+    except (ValueError, decimal.InvalidOperation) as exc:
+        raise ValueError(
+            f"probe {value!r} is not parseable as column type "
+            f"{type_name}") from exc
+    raise ValueError(
+        f"probe {value!r} cannot be coerced to column type {type_name}; "
+        "pass a typed value or use a supported column type")
 # k=2 double-probe bloom over xxhash64: position 1 = pmod(h, m), position 2
 # = pmod(h >>> 17, m). Both derivations exist bit-exactly in Spark SQL
 # (executor-side build) and in the Python xxhash64 port (driver-side probe,

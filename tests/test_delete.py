@@ -148,3 +148,67 @@ def test_delete_cli_dry_run_and_apply(spark, tmp_table_dir, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["deleted"] == 5
     assert read_current(t).count() == 30
+
+
+def test_purge_reports_tag_pinned_snapshots_blocking_erasure(
+        spark, tmp_table_dir, capsys):
+    """A tag on a PRE-deletion snapshot pins it through expire/vacuum, so
+    the deleted payload survives on disk — purge must report the blocking
+    tags and exit 2 instead of printing unconditional success
+    (compliance-sensitive: right-to-be-forgotten must not silently fail).
+    --drop-blocking-tags completes erasure in one step."""
+    d = tmp_table_dir
+    t = _new(spark, d + "/t")
+    merge_lww(t, _batch(spark, _rows(20, "python")
+                        + _rows(6, "secret", start=2000)), KEYS)
+    t.set_tag("audit")  # durable retention pin on the pre-deletion state
+
+    rc = cli_main(["purge", "--table", d + "/t", "--where", "lang=secret"])
+    assert rc == 2
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["erasure_complete"] is False
+    assert list(out["pinned_snapshots_blocking_erasure"]) == ["audit"]
+    # the pinned snapshot's files indeed still hold the payload (the
+    # condition the old code reported success over)
+    whole = (spark.read.option("recursiveFileLookup", "true")
+             .parquet(os.path.join(d, "t", "data")))
+    assert whole.filter(F.col("lang") == "secret").count() > 0
+
+    rc = cli_main(["purge", "--table", d + "/t", "--where", "lang=secret",
+                   "--drop-blocking-tags"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["erasure_complete"] is True
+    assert out["pinned_snapshots_blocking_erasure"] == {}
+    whole = (spark.read.option("recursiveFileLookup", "true")
+             .parquet(os.path.join(d, "t", "data")))
+    assert whole.filter(F.col("lang") == "secret").count() == 0
+    assert "audit" not in LakeTable(spark, d + "/t").tags()
+
+
+def test_delete_where_date_column_string_probe(spark, tmp_table_dir):
+    """CLI probes arrive as strings; on a DATE column the probe must parse
+    (ISO) and match rows — and an unparseable probe must RAISE, never
+    silently delete 0 rows and report success."""
+    from pyspark.sql.types import DateType
+
+    schema = StructType([
+        StructField("k", StringType()),
+        StructField("day", DateType()),
+        StructField("__seq", LongType()),
+        StructField("__deleted", BooleanType()),
+    ])
+    t = LakeTable.create(spark, tmp_table_dir + "/t", schema, ["k"],
+                         n_buckets=4)
+    rows = [(i, "U", f"k{i}", f"2024-01-0{1 + i % 3}") for i in range(12)]
+    batch = (spark.createDataFrame(rows, ["seq", "op", "k", "day"])
+             .withColumn("day", F.to_date("day")))
+    merge_lww(t, batch, ["k"])
+
+    res = delete_where(t, {"day": "2024-01-02"})
+    assert res["deleted"] == 4
+    assert read_current(t).count() == 8
+
+    with pytest.raises(ValueError, match="not parseable"):
+        delete_where(t, {"day": "not-a-date"})
+    assert read_current(t).count() == 8  # nothing written

@@ -120,3 +120,51 @@ def test_cli_fingerprint_and_verify(spark, tmp_table_dir, capsys):
         ["verify", "--table", d + "/ta", "--other", d + "/tb"]) == 2
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["match"] is False
+
+
+def test_fingerprint_canonical_rendering_is_injective(spark, tmp_table_dir):
+    """Adversarial rows that collide under a separator-joined rendering
+    (value containing the separator shifts field boundaries; a literal
+    NULL-sentinel string collides with NULL) must fingerprint DIFFERENTLY:
+    the per-column fixed-length-digest encoding is injective over the row
+    tuple."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("k", StringType()),
+        StructField("a", StringType()),
+        StructField("b", StringType()),
+        StructField("__seq", LongType()),
+        StructField("__deleted", BooleanType()),
+    ])
+    batch_schema = StructType([
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+        StructField("k", StringType()),
+        StructField("a", StringType()),
+        StructField("b", StringType()),
+    ])
+
+    def table_with(root, a, b):
+        t = LakeTable.create(spark, root, schema, ["k"], n_buckets=2)
+        merge_lww(t, spark.createDataFrame([(1, "U", "k1", a, b)],
+                                           batch_schema), ["k"])
+        return t
+
+    # boundary-shift pair: ('a\x1fb','c') vs ('a','b\x1fc')
+    t1 = table_with(tmp_table_dir + "/t1", "a\x1fb", "c")
+    t2 = table_with(tmp_table_dir + "/t2", "a", "b\x1fc")
+    assert (table_fingerprint(t1)["fingerprint"]
+            != table_fingerprint(t2)["fingerprint"])
+
+    # literal sentinel vs real NULL
+    t3 = table_with(tmp_table_dir + "/t3", "\x00NULL", "x")
+    t4 = table_with(tmp_table_dir + "/t4", None, "x")
+    assert (table_fingerprint(t3)["fingerprint"]
+            != table_fingerprint(t4)["fingerprint"])
+    # and empty string vs NULL
+    t5 = table_with(tmp_table_dir + "/t5", "", "x")
+    assert (table_fingerprint(t5)["fingerprint"]
+            != table_fingerprint(t4)["fingerprint"])

@@ -306,3 +306,34 @@ def test_rollback_across_rescale_restores_old_spec(spark, tmp_table_dir):
     # updates: live in both with different winning seq — derive via seqs
     assert {(a, b, c) for (a, b, c) in got
             if c in ("insert", "delete")} == expect
+
+
+def test_auto_rescale_clamps_to_spec_ceiling():
+    """A non-power-of-two spec near the 1<<16 ceiling must never double
+    past it: the growth loop's pre-check alone allowed e.g. 48000→96000.
+    Driver-math unit test — no Spark needed."""
+    from types import SimpleNamespace
+
+    from gobblin_spark.engine import CdcEngine
+
+    calls = []
+    eng = SimpleNamespace(
+        auto_rescale_bytes=1024,
+        table=SimpleNamespace(
+            rescale_buckets=lambda n: calls.append(n) or
+            SimpleNamespace(n_buckets=n)),
+    )
+
+    # 48000 buckets, avg well over threshold: any doubling overshoots the
+    # ceiling → must be a no-op, not a 96000-bucket commit
+    snap = SimpleNamespace(n_buckets=48000,
+                           files=[SimpleNamespace(bytes=10**9)])
+    out = CdcEngine._maybe_auto_rescale(eng, snap)
+    assert out is snap and calls == []
+
+    # 20000 buckets: the unclamped loop picks factor 4 (80000 > ceiling);
+    # the clamp settles on 2 → 40000, still under 1<<16
+    snap = SimpleNamespace(n_buckets=20000,
+                           files=[SimpleNamespace(bytes=10**9)])
+    out = CdcEngine._maybe_auto_rescale(eng, snap)
+    assert calls == [40000] and out.n_buckets == 40000
