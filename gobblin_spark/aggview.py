@@ -198,6 +198,7 @@ def agg_sync(
     minmax_cols: Sequence[str] = (),
     n_buckets: int = 32,
     fs=None,
+    full_reaggregate_threshold: float | None = 0.5,
 ) -> dict[str, Any]:
     """One maintenance step: advance the aggregate view from its committed
     source-version watermark to the upstream's current version. Rerunning
@@ -207,7 +208,19 @@ def agg_sync(
     MIN/MAX maintenance: inserts update extrema monotonically; only groups
     where a RETRACTED value ties-or-beats the stored extremum are
     recomputed from the upstream state (one scan restricted to those
-    groups — zero scans in the common append/update-upward regime)."""
+    groups — zero scans in the common append/update-upward regime).
+
+    REGIME CHOOSER: the incremental path reads the changed upstream
+    buckets at BOTH versions (the diff) plus the touched view buckets —
+    ~2× the changed fraction of the upstream. When the advance touched
+    most of the table (bulk backfill, wide recompaction), a from-scratch
+    re-aggregate (ONE upstream scan, like bootstrap, reconciled against
+    the view) is strictly cheaper. The chooser reads the changed-unit
+    fraction from manifest math alone (merge.changed_units — O(files)
+    driver-side, no scan) and takes the full path when it reaches
+    ``full_reaggregate_threshold`` (default 0.5, the break-even of the
+    2×-changed vs 1×-table read costs; None forces incremental). Both
+    paths commit identical view state — the choice is cost-only."""
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
     minmax_cols = list(minmax_cols)
@@ -265,25 +278,40 @@ def agg_sync(
         low_seq=int(wm) if wm is not None else to_v, high_seq=to_v)
     store.begin_batch(bid, [unit])
 
+    mode = "bootstrap"
+    changed_frac = None
     if applied < 0:
         view, n_groups = _bootstrap(
             spark, src, view_root, schema, group_cols, sum_cols,
             minmax_cols, n_buckets, to_v, fs, reuse=view)
     elif applied >= to_v:
+        mode = "noop"
         n_groups = 0  # crash landed between view commit and log commit
     else:
-        n_groups = _apply_range(
-            spark, src, view, group_cols, sum_cols, minmax_cols,
-            applied, to_v)
+        from gobblin_spark.lakehouse.merge import changed_units
+
+        ch, unit_n, _ = changed_units(src.snapshot(applied), src_snap)
+        changed_frac = len(ch) / max(1, unit_n)
+        if (full_reaggregate_threshold is not None
+                and changed_frac >= full_reaggregate_threshold):
+            mode = "full"
+            n_groups = _reaggregate(
+                spark, src, view, group_cols, sum_cols, minmax_cols, to_v)
+        else:
+            mode = "incremental"
+            n_groups = _apply_range(
+                spark, src, view, group_cols, sum_cols, minmax_cols,
+                applied, to_v)
 
     unit.rows_read = n_groups
     unit.rows_written = n_groups
     unit.wall_ms = int((time.time() - t0) * 1000)
     store.commit_batch(bid, [unit], snapshot_version=to_v,
                        metrics={"kind": "agg_sync", "groups": n_groups,
-                                "view": view_root})
+                                "mode": mode, "view": view_root})
     return {"from_version": int(wm) if wm is not None else None,
             "to_version": to_v, "groups_touched": n_groups,
+            "mode": mode, "changed_unit_fraction": changed_frac,
             "skipped": False}
 
 
@@ -355,6 +383,47 @@ def _bootstrap(spark, src: LakeTable, view_root: str, schema: StructType,
     finally:
         totals.unpersist()
     return view, sum(f.rows for f in snap.files if f.rows)
+
+
+def _reaggregate(spark, src: LakeTable, view: LakeTable, group_cols,
+                 sum_cols, minmax_cols, to_v: int) -> int:
+    """The wide-touch regime: ONE full aggregate of the upstream's visible
+    state at to_v (exactly the bootstrap plan), committed as a wholesale
+    snapshot REPLACE of the view (``overwrite`` — optimistic-concurrency
+    commit like merge). No diff join, no preimage explode, no read of the
+    old view at all: groups that vanished upstream are simply absent from
+    the new snapshot, which is the same visible state the incremental
+    path's tombstones produce (absent ≡ tombstoned to every reader, and a
+    later incremental sync merges on top at a higher seq either way).
+    table_changes across the overwrite still diffs correctly — both sides
+    resolve from their snapshot's files."""
+    from pyspark.sql.observation import Observation
+
+    from gobblin_spark.lakehouse.merge import read_current
+
+    state = read_current(src, version=to_v)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in sum_cols:
+        aggs.append(F.sum(c).alias(f"sum_{c}"))
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+    for c in minmax_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    totals = (state.groupBy(*group_cols).agg(*aggs)
+              .persist())  # probed for null groups, then written
+    try:
+        _refuse_null_groups(totals, group_cols)
+        stored = totals.select(
+            *totals.columns,
+            F.lit(int(to_v)).cast("long").alias(SEQ_COL),
+            F.lit(False).alias(DELETED_COL))
+        obs = Observation(f"aggreagg-{to_v}")
+        stored = stored.observe(obs, F.count(F.lit(1)).alias("n"))
+        view.overwrite(stored, seq_col=SEQ_COL,
+                       properties={"agg_source_version": to_v})
+        return int(obs.get["n"])
+    finally:
+        totals.unpersist()
 
 
 def _apply_range(spark, src: LakeTable, view: LakeTable, group_cols,

@@ -675,6 +675,19 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """Catalog-scoped maintenance sweep (maintenance.sweep_catalog): every
+    registered table's maintain.* policy applied in one run — the
+    reference's scheduled retention job family as one command."""
+    from gobblin_spark.maintenance import sweep_catalog
+
+    spark = _get_session(args)
+    report = sweep_catalog(spark, args.catalog,
+                           sweep_id=args.sweep_id or None)
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_changes(args) -> int:
     """Incremental changelog read between two snapshots: emit the
     insert/update/delete rows to stdout-count + an optional parquet sink
@@ -972,11 +985,14 @@ def main(argv: list[str] | None = None) -> int:
                           "table grows")
     ing.add_argument("--max-batches", type=int, default=1000)
     ing.add_argument("--merge-dialect", choices=["row", "column", "cell"],
-                     default="row", help="'column' = patch semantics: null "
-                     "payload column in an update means unchanged; 'cell' = "
-                     "same patch semantics with per-column write seqs "
-                     "(order-independent folds, also valid for streaming)")
-    ing.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
+                     default="row", help="'cell' = patch semantics (null "
+                     "payload column in an update means unchanged) with "
+                     "per-column write seqs: order-independent folds, valid "
+                     "for batch, streaming and DLQ replay; 'column' = the "
+                     "same without cell seqs — DEPRECATED (order-dependent, "
+                     "batch-only; kept for existing tables)")
+    ing.add_argument("--merge-mode", choices=["cow", "mor", "auto"],
+                     default="cow",
                      help="cow: rewrite affected buckets per batch; "
                           "mor: append deltas, compact periodically")
     ing.add_argument("--compact-every", type=int, default=8,
@@ -1060,7 +1076,8 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--max-partitions", type=int, default=32)
     tl.add_argument("--max-records-per-batch", type=int, default=2_000_000)
     tl.add_argument("--max-batches", type=int, default=1000)
-    tl.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    tl.add_argument("--merge-mode", choices=["cow", "mor", "auto"],
+                    default="cow")
     tl.add_argument("--compact-every", type=int, default=8)
     tl.add_argument("--local-cores", type=int, default=0)
 
@@ -1089,7 +1106,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="k=v passed to the JDBC driver (repeatable)")
     pl.add_argument("--max-records-per-batch", type=int, default=2_000_000)
     pl.add_argument("--max-batches", type=int, default=1000)
-    pl.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    pl.add_argument("--merge-mode", choices=["cow", "mor", "auto"],
+                    default="cow")
     pl.add_argument("--compact-every", type=int, default=8)
     pl.add_argument("--local-cores", type=int, default=0)
 
@@ -1223,6 +1241,20 @@ def main(argv: list[str] | None = None) -> int:
     vac = sub.add_parser("vacuum", help="remove orphaned data files")
     vac.add_argument("--table", required=True)
     vac.add_argument("--local-cores", type=int, default=0)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="catalog-scoped maintenance sweep: apply each registered "
+             "table's maintain.* policy (compact / rescale / expire / "
+             "vacuum); --sweep-id makes a crashed sweep resumable "
+             "(completed tables are skipped on rerun)",
+    )
+    mt.add_argument("--catalog", required=True)
+    mt.add_argument("--sweep-id", default="",
+                    help="stable id for this sweep: per-table completion "
+                         "markers under <catalog>/maintenance/<id>/ let a "
+                         "rerun skip finished tables")
+    mt.add_argument("--local-cores", type=int, default=0)
 
     ch = sub.add_parser(
         "changes",
@@ -1428,7 +1460,8 @@ def main(argv: list[str] | None = None) -> int:
             "fingerprint": cmd_fingerprint, "verify": cmd_verify,
             "rescale": cmd_rescale, "export": cmd_export,
             "delete": cmd_delete, "purge": cmd_purge, "tag": cmd_tag,
-            "vacuum": cmd_vacuum, "dedup": cmd_dedup,
+            "vacuum": cmd_vacuum, "maintain": cmd_maintain,
+            "dedup": cmd_dedup,
             "changes": cmd_changes, "expire": cmd_expire,
             "history": cmd_history, "rollback": cmd_rollback,
             "stream": cmd_stream,

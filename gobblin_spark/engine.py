@@ -47,6 +47,7 @@ from pyspark.sql.types import (
 )
 
 from gobblin_spark.lakehouse import LakeTable, merge_lww
+from gobblin_spark.lakehouse.table import plan_rescale_factor
 from gobblin_spark.lakehouse.merge import (
     CELLS_COL,
     DELETED_COL,
@@ -183,6 +184,7 @@ class CdcEngine:
         row_policies: list[RowLevelPolicy] | None = None,
         err_path: str | None = None,
         merge_mode: str = "cow",
+        auto_cow_ratio: float = 0.5,
         merge_dialect: str = "row",
         compact_every: int | None = 8,
         compact_delta_ratio: float | None = 0.25,
@@ -201,23 +203,40 @@ class CdcEngine:
         """merge_mode: 'cow' rewrites affected buckets per batch (zero read
         amplification); 'mor' appends delta files per batch and compacts
         every ``compact_every`` batches (O(batch) apply — the 100 TB path,
-        mirroring the reference's ingest-then-compact split).
+        mirroring the reference's ingest-then-compact split); 'auto'
+        chooses per batch from manifest math alone (no scan): COW when the
+        batch's estimated rows reach ``auto_cow_ratio`` of the table's
+        stored rows (batch ≈ table: the rewrite is within a small factor
+        of the work MOR's compaction would do later anyway, and COW has
+        zero read amplification), MOR otherwise (batch ≪ table: O(batch)
+        append beats rewriting every touched bucket — BENCH/mor_regime.json
+        measured 4.4× at an 80× table/batch ratio). Both paths commit
+        LWW-identical state, so the choice is cost-only and can flip
+        per batch.
 
         delta_distribution: how MOR delta writes reach their bucket files —
         'cluster' (one shuffle, one file per bucket) or 'fanout' (no
         shuffle, per-task bucketed files; see LakeTable.write_data_files).
 
-        merge_dialect: 'row' (whole-row LWW), 'column' (patch semantics:
-        a null payload column in an update means "unchanged"; each column
-        resolves to its latest non-null value, deletes clear all state —
-        Debezium/Mongo-style patch streams; folds rely on the planner's
-        seq-monotone batch admission), or 'cell' (same patch semantics,
-        but each stored column carries its own write seq and the max delete
-        seq is retained — Cassandra-style cell timestamps, making the fold
-        order-independent so it is also safe for streaming epochs and any
-        non-monotone replay; costs one map<string,bigint> per stored row).
+        merge_dialect: 'row' (whole-row LWW), 'column' (DEPRECATED — see
+        below), or 'cell' (patch semantics: a null payload column in an
+        update means "unchanged"; each stored column carries its own write
+        seq and the max delete seq is retained — Cassandra-style cell
+        timestamps, making the fold order-independent so it is safe for
+        batch, streaming epochs, DLQ replay, and any non-monotone replay;
+        costs one map<string,bigint> per stored row).
         Stored on the table at create; an existing table's dialect wins
-        over this argument."""
+        over this argument.
+
+        'column' is the same patch semantics WITHOUT per-cell seqs: each
+        column resolves to its latest non-null value, relying on the
+        planner's seq-monotone batch admission for correctness. Two of the
+        three consumers already refuse it (streaming ingest and DLQ replay
+        — both can fold out of admission order), which makes it a foot-gun
+        whose remaining niche over 'cell' is only the map-column storage
+        cost. It is DEPRECATED: batch ingest still honors it for existing
+        tables but emits a DeprecationWarning; create new tables with
+        'cell'."""
         self.spark = spark
         self._events = events
         self.registry = registry or default_registry()
@@ -238,9 +257,20 @@ class CdcEngine:
         self.converters = converters
         self.row_policies = row_policies or []
         self.err_path = err_path
-        assert merge_mode in ("cow", "mor")
+        assert merge_mode in ("cow", "mor", "auto")
         self.merge_mode = merge_mode
+        self.auto_cow_ratio = auto_cow_ratio
         assert merge_dialect in ("row", "column", "cell")
+        if merge_dialect == "column":
+            import warnings
+
+            warnings.warn(
+                "merge_dialect='column' is deprecated: its fold is "
+                "order-dependent (correct only under the batch planner's "
+                "seq-monotone admission), so streaming ingest and DLQ "
+                "replay refuse it. Use 'cell' — same patch semantics, "
+                "order-independent via per-cell write seqs.",
+                DeprecationWarning, stacklevel=2)
         assert delta_distribution in ("cluster", "fanout")
         self.delta_distribution = delta_distribution
         # commit-log retention: fold history into a rollup so planning cost
@@ -347,8 +377,9 @@ class CdcEngine:
         # must know counts/hot-keys BEFORE mutating the table: COW (salted
         # two-stage merge plans its shuffle around hot keys), task-level
         # publish gates, or a retry re-plan (no planning scan → no stats).
+        mode = self._resolve_merge_mode(plan)
         run_rollup = (
-            self.merge_mode == "cow"
+            mode == "cow"
             or bool(self.task_policies)
             or plan.sv_max is None
         )
@@ -456,8 +487,8 @@ class CdcEngine:
         snapshot_version = None
         rows_merged = 0
         if rows_read is None or rows_read:
-            apply_fn = merge_lww if self.merge_mode == "cow" else merge_lww_mor
-            apply_kw = ({} if self.merge_mode == "cow"
+            apply_fn = merge_lww if mode == "cow" else merge_lww_mor
+            apply_kw = ({} if mode == "cow"
                         else {"distribution": self.delta_distribution})
             snap = apply_fn(
                 self.table,
@@ -475,10 +506,26 @@ class CdcEngine:
                 rows_read = int(snap.properties.get("batch_rows", 0))
             rows_merged = rows_read
             tp = mark("merge_apply", tp)
-            if self.merge_mode == "cow":
+            if mode == "cow":
                 snap = self._maybe_auto_rescale(snap)
                 snapshot_version = snap.version
-            if self.merge_mode == "mor":
+                if (self.merge_mode == "auto"
+                        and int(snap.properties.get("mor_deltas", 0)) > 0
+                        and self._should_compact(snap)):
+                    # auto flipped to COW while earlier MOR batches left
+                    # deltas in buckets this batch didn't touch — fold
+                    # them on the same triggers a MOR batch would, so
+                    # read amplification stays bounded whatever sequence
+                    # of modes the chooser picks
+                    snap = compact(
+                        self.table,
+                        properties={"compacted_after": batch_id},
+                        max_rows_per_file=self.compact_max_rows_per_file,
+                    )
+                    snapshot_version = snap.version
+                    self._batches_since_compact = 0
+                    tp = mark("compact", tp)
+            if mode == "mor":
                 self._batches_since_compact += 1
                 should_full = self._should_compact(snap)
                 if not should_full and (
@@ -536,6 +583,7 @@ class CdcEngine:
             metrics={
                 "rows_read": rows_read,
                 "rows_merged": rows_merged,
+                "merge_mode": mode,
                 "hot_repos": hot,
                 "quality_violations": quality.counts,
                 "wall_ms": wall,
@@ -559,6 +607,25 @@ class CdcEngine:
             phase_ms=phase_ms,
         )
 
+    def _resolve_merge_mode(self, plan) -> str:
+        """Per-batch COW/MOR choice for ``merge_mode='auto'`` — manifest
+        math only, no scan: COW when the batch's planned size reaches
+        ``auto_cow_ratio`` of the table's stored rows (bootstrap and
+        batch≈table regimes: the rewrite costs little more than the
+        compaction MOR defers, with zero read amplification), MOR when the
+        batch is a sliver of the table (the 100 TB steady state: O(batch)
+        append, BENCH/mor_regime.json). Static modes pass through."""
+        if self.merge_mode != "auto":
+            return self.merge_mode
+        snap = self.table.snapshot()
+        table_rows = sum(f.rows for f in snap.files if f.rows)
+        if table_rows == 0:
+            return "cow"
+        batch_est = plan.total_est_records or 0
+        return ("cow"
+                if batch_est >= self.auto_cow_ratio * table_rows
+                else "mor")
+
     def _maybe_auto_rescale(self, snap):
         """Operational auto-tuning: when the average data volume per bucket
         crosses ``auto_rescale_bytes``, grow the bucket spec (metadata-only
@@ -569,20 +636,9 @@ class CdcEngine:
         and file sizes bounded without an operator watching it."""
         if not self.auto_rescale_bytes:
             return snap
-        if snap.n_buckets >= (1 << 16):  # spec-growth ceiling
-            return snap
-        total = sum(f.bytes for f in snap.files)
-        avg = total / max(1, snap.n_buckets)
-        if avg <= self.auto_rescale_bytes:
-            return snap
-        factor = 2
-        while (avg / factor > self.auto_rescale_bytes
-               and snap.n_buckets * factor < (1 << 16)):
-            factor *= 2
-        # clamp: a non-power-of-two spec (e.g. 48000) must not double past
-        # the documented 1<<16 ceiling
-        while factor > 1 and snap.n_buckets * factor > (1 << 16):
-            factor //= 2
+        factor = plan_rescale_factor(
+            snap.n_buckets, sum(f.bytes for f in snap.files),
+            self.auto_rescale_bytes)
         if factor <= 1:
             return snap
         return self.table.rescale_buckets(snap.n_buckets * factor)

@@ -1032,6 +1032,44 @@ def point_lookup(
     return df
 
 
+def changed_units(
+    snap_old: Snapshot, snap_new: Snapshot
+) -> tuple[set[int], int, bool]:
+    """Driver-side O(files) manifest math: the NEW-spec bucket units whose
+    file sets differ between two snapshots — the pruning unit of
+    ``table_changes`` and the cost signal regime choosers (aggview's
+    incremental-vs-full, maintenance planners) read. Every file on either
+    side is residue-mapped into the units it can hold keys for, so the set
+    is exact across bucket-spec evolution. Returns (changed units, unit
+    modulus, dividable); when some file's spec does not divide the unit
+    modulus (possible only after a rollback across a rescale) pruning is
+    impossible and EVERY unit counts as changed — a correct superset."""
+    unit_n = snap_new.n_buckets
+    dividable = all(
+        unit_n % file_spec_n(f, s) == 0
+        for s in (snap_old, snap_new) for f in s.files
+    )
+    if not dividable:
+        return set(range(unit_n)), unit_n, False
+
+    def _by_unit(snap: Snapshot) -> dict[int, set[str]]:
+        out: dict[int, set[str]] = {}
+        for f in snap.files:
+            s = file_spec_n(f, snap)
+            for b in range(f.bucket % s, unit_n, s):
+                out.setdefault(b, set()).add(f.path)
+        return out
+
+    by_bucket_old = _by_unit(snap_old)
+    by_bucket_new = _by_unit(snap_new)
+    changed = {
+        b
+        for b in set(by_bucket_old) | set(by_bucket_new)
+        if by_bucket_old.get(b, set()) != by_bucket_new.get(b, set())
+    }
+    return changed, unit_n, True
+
+
 def table_changes(
     table: LakeTable,
     from_version: int,
@@ -1089,30 +1127,7 @@ def table_changes(
     # not divide the unit modulus (possible only after a rollback across a
     # rescale), pruning is abandoned: every unit is treated as changed —
     # a correct superset, just unpruned.
-    unit_n = snap_new.n_buckets
-    dividable = all(
-        unit_n % file_spec_n(f, s) == 0
-        for s in (snap_old, snap_new) for f in s.files
-    )
-
-    def _by_unit(snap: Snapshot) -> dict[int, set[str]]:
-        out: dict[int, set[str]] = {}
-        for f in snap.files:
-            s = file_spec_n(f, snap)
-            for b in range(f.bucket % s, unit_n, s):
-                out.setdefault(b, set()).add(f.path)
-        return out
-
-    if dividable:
-        by_bucket_old = _by_unit(snap_old)
-        by_bucket_new = _by_unit(snap_new)
-        changed = {
-            b
-            for b in set(by_bucket_old) | set(by_bucket_new)
-            if by_bucket_old.get(b, set()) != by_bucket_new.get(b, set())
-        }
-    else:
-        changed = set(range(unit_n))
+    changed, unit_n, dividable = changed_units(snap_old, snap_new)
 
     def _state(snap: Snapshot) -> DataFrame:
         if dividable:

@@ -287,6 +287,29 @@ def _coerce_probe(value: Any, type_name: str) -> Any:
         return None
 
 
+def plan_rescale_factor(n_buckets: int, total_bytes: int,
+                        target_bytes_per_bucket: int,
+                        ceiling: int = 1 << 16) -> int:
+    """Power-of-two bucket-spec growth factor that brings average bytes per
+    bucket back under the target, clamped so ``n_buckets * factor`` never
+    exceeds the spec ceiling (a non-power-of-two spec must not double past
+    it). Returns 1 when no rescale is needed or possible. Pure driver math
+    over manifest totals — shared by the engine's auto-rescale and the
+    catalog maintenance sweep."""
+    if n_buckets >= ceiling:
+        return 1
+    avg = total_bytes / max(1, n_buckets)
+    if avg <= target_bytes_per_bucket:
+        return 1
+    factor = 2
+    while (avg / factor > target_bytes_per_bucket
+           and n_buckets * factor < ceiling):
+        factor *= 2
+    while factor > 1 and n_buckets * factor > ceiling:
+        factor //= 2
+    return max(1, factor)
+
+
 def _coerce_probe_extended(value: Any, type_name: str) -> Any:
     """Row-filter-only coercion for the probe types the bloom path doesn't
     hash (date/timestamp/decimal): parse a CLI string into the typed Python

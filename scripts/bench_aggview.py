@@ -35,21 +35,11 @@ N_EVENTS = int(os.environ.get("BENCH_EVENTS", "1500000"))
 
 def changed_bucket_frac(table, v_old, v_new):
     """Fraction of the new snapshot's buckets whose file set differs —
-    exactly table_changes' pruning unit (merge.py table_changes)."""
-    from gobblin_spark.lakehouse.table import file_spec_n
+    exactly table_changes' pruning unit AND the chooser's signal."""
+    from gobblin_spark.lakehouse.merge import changed_units
 
-    def by_unit(snap, unit_n):
-        out = {}
-        for f in snap.files:
-            s = file_spec_n(f, snap)
-            for b in range(f.bucket % s, unit_n, s):
-                out.setdefault(b, set()).add(f.path)
-        return out
-
-    so, sn = table.snapshot(v_old), table.snapshot(v_new)
-    unit_n = sn.n_buckets
-    o, n = by_unit(so, unit_n), by_unit(sn, unit_n)
-    changed = {b for b in set(o) | set(n) if o.get(b) != n.get(b)}
+    changed, unit_n, _ = changed_units(
+        table.snapshot(v_old), table.snapshot(v_new))
     return len(changed) / max(1, unit_n), len(changed), unit_n
 
 
@@ -73,6 +63,9 @@ def run_regime(spark, d, ev, hi, n_buckets, touch_per_100k, tag):
     agg_sync(spark, os.path.join(root, "t"), os.path.join(root, "vs"),
              os.path.join(root, "view"), **kw)
     bootstrap_sec = time.time() - t0
+    # twin view for the default chooser path (same bootstrap state)
+    agg_sync(spark, os.path.join(root, "t"), os.path.join(root, "vs_c"),
+             os.path.join(root, "view_c"), **kw)
 
     v_before = src.current_version()
     state = read_current(src)
@@ -95,10 +88,19 @@ def run_regime(spark, d, ev, hi, n_buckets, touch_per_100k, tag):
     frac, n_changed, unit_n = changed_bucket_frac(
         src, v_before, src.current_version())
 
+    # forced-incremental path (the pre-chooser behavior)
     t0 = time.time()
     agg_sync(spark, os.path.join(root, "t"), os.path.join(root, "vs"),
-             os.path.join(root, "view"), **kw)
+             os.path.join(root, "view"),
+             full_reaggregate_threshold=None, **kw)
     incremental_sec = time.time() - t0
+
+    # the DEFAULT path: agg_sync's regime chooser picks from the
+    # changed-unit fraction (threshold 0.5)
+    t0 = time.time()
+    rc = agg_sync(spark, os.path.join(root, "t"), os.path.join(root, "vs_c"),
+                  os.path.join(root, "view_c"), **kw)
+    chooser_sec = time.time() - t0
 
     # the naive consumer: full scan + GROUP BY + view rewrite, every sync
     t0 = time.time()
@@ -116,8 +118,12 @@ def run_regime(spark, d, ev, hi, n_buckets, touch_per_100k, tag):
         "buckets_read_frac": round(frac, 4),
         "bootstrap_sec": round(bootstrap_sec, 3),
         "incremental_sec": round(incremental_sec, 3),
+        "chooser_sec": round(chooser_sec, 3),
+        "chooser_mode": rc["mode"],
         "full_reaggregate_sec": round(full_sec, 3),
         "speedup_vs_full": round(full_sec / max(1e-9, incremental_sec), 2),
+        "chooser_speedup_vs_full": round(
+            full_sec / max(1e-9, chooser_sec), 2),
     }
 
 
@@ -160,7 +166,7 @@ def main():
             "regimes": regimes,
             "host_supply_probe": probe,
             "reading": (
-                "buckets_read_frac is the diff's pruning fraction ~ min(1, touched_keys/n_buckets) and carries the structural claim: wide regime 1.0 (the diff re-reads the table on both sides and loses 0.31x — honest, a full re-aggregate of 290k rows is ~1.5 s), narrow regime 0.0098 (5 keys / 512 buckets). At this scale BOTH paths are fixed-cost-bound (~8 Spark job launches each), so narrow wall-clock ties (0.99x) — the win is in bytes read, which is what scales: at 100 TB the full path scans the table EVERY sync; the incremental path reads ~touched_keys/n_buckets of it (1k keys / 2^16 buckets = ~1.5%)."),
+                "buckets_read_frac is the diff's pruning fraction ~ min(1, touched_keys/n_buckets) AND agg_sync's chooser signal (threshold 0.5, manifest math only). chooser_mode/chooser_sec show the default path: wide regime (frac 1.0) now takes the from-scratch re-aggregate instead of losing 0.3x on a both-sides diff; narrow regime (frac ~0.01) stays incremental. The asymptotic claim is unchanged: at 100 TB the full path scans the table EVERY sync; the incremental path reads ~touched_keys/n_buckets of it, and the chooser only abandons it when the diff would re-read most of the table anyway."),
         }
         path = os.path.join(REPO, "BENCH", "aggview_incremental.json")
         with open(path, "w") as f:

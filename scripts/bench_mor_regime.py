@@ -96,7 +96,7 @@ def main() -> None:
     small_cap = max(1, n_events // SMALL_BATCHES)
 
     out_modes: dict[str, dict] = {}
-    for mode in ("cow", "mor"):
+    for mode in ("cow", "mor", "auto"):
         eng = CdcEngine(
             spark,
             events,
@@ -129,7 +129,16 @@ def main() -> None:
             })
         wall = time.time() - t1
         applied = sum(b["rows"] for b in per_batch)
+        # what the auto chooser actually picked, from the commit log
+        from gobblin_spark.state.store import StateStore
+        chosen = [c["metrics"].get("merge_mode")
+                  for c in sorted(
+                      StateStore(os.path.join(work, f"state_{mode}"))
+                      .committed_batches(),
+                      key=lambda c: c.get("committed_ms", 0))
+                  if c.get("kind") != "rollup"]
         out_modes[mode] = {
+            "chosen_modes": chosen if mode == "auto" else None,
             "seed_sec": seed_sec,
             "table_rows_seeded": table_rows,
             "warmup_rows": warm.rows_read,
@@ -207,6 +216,9 @@ def main() -> None:
 
     ratio = (out_modes["mor"]["events_per_sec"]
              / max(out_modes["cow"]["events_per_sec"], 0.001))
+    auto_vs_best = (out_modes["auto"]["events_per_sec"]
+                    / max(out_modes["cow"]["events_per_sec"],
+                          out_modes["mor"]["events_per_sec"], 0.001))
     doc = {
         "metric": "small_batch_apply_events_per_sec",
         "regime": {
@@ -220,6 +232,9 @@ def main() -> None:
         "generate_sec": gen_sec,
         "modes": out_modes,
         "mor_over_cow_speedup": round(ratio, 2),
+        # merge_mode='auto' should track the winning static mode in this
+        # regime (batch ≪ table ⇒ chooser picks MOR every batch)
+        "auto_vs_best_static": round(auto_vs_best, 2),
         "per_bucket_trigger": per_bucket_doc,
     }
     bench_dir = os.path.join(os.path.dirname(os.path.dirname(

@@ -36,12 +36,27 @@ def value_hash(pdf: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()
 
 
+# Pin of the registered contract size: the driver's correctness file must
+# cover EXACTLY this many queries. A silent drop (r4 covered 50 of 52) or an
+# unregistered addition fails here before it can fail invisibly driver-side.
+EXPECTED_REGISTERED = 52
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     from gobblin_spark.queries import QUERIES, TABLES, oracle_sqls
     from gobblin_spark.session import get_spark
+
+    if len(QUERIES) != EXPECTED_REGISTERED:
+        print(f"[FAIL] registry pin: {len(QUERIES)} registered queries, "
+              f"expected {EXPECTED_REGISTERED} — update the pin with intent")
+        sys.exit(1)
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"[FAIL] unknown query name(s): {sorted(unknown)}")
+        sys.exit(1)
 
     spark = get_spark("contract-check", parallelism=16, shuffle_partitions=16)
     con = duckdb.connect()

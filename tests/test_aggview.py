@@ -72,7 +72,8 @@ def test_view_equals_groupby_under_updates_deletes_nulls(
         (4, "b", None, None, 4, "I"),
         (5, "c", 5, 0.5, 5, "I"),
     ])
-    kw = dict(group_cols=["grp"], sum_cols=["v", "x"], n_buckets=4)
+    kw = dict(group_cols=["grp"], sum_cols=["v", "x"], n_buckets=4,
+              full_reaggregate_threshold=None)  # pin the incremental path
     r1 = agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
     assert not r1["skipped"]
     assert _view_dict(spark, d + "/view") == _oracle(spark, src)
@@ -135,7 +136,8 @@ def test_crash_between_view_commit_and_log_commit(spark, tmp_table_dir,
     src = _mk_source(spark, d + "/src", [
         (1, "a", 10, 1.0, 1, "I"), (2, "b", 20, 2.0, 2, "I"),
     ])
-    kw = dict(group_cols=["grp"], sum_cols=["v", "x"], n_buckets=4)
+    kw = dict(group_cols=["grp"], sum_cols=["v", "x"], n_buckets=4,
+              full_reaggregate_threshold=None)  # pin the incremental path
     agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
 
     merge_lww(src, spark.createDataFrame(
@@ -171,7 +173,8 @@ def test_crash_then_upstream_advance_resumes_from_applied(
     src = _mk_source(spark, d + "/src", [
         (1, "a", 10, 1.0, 1, "I"), (2, "b", 20, 2.0, 2, "I"),
     ])
-    kw = dict(group_cols=["grp"], sum_cols=["v", "x"], n_buckets=4)
+    kw = dict(group_cols=["grp"], sum_cols=["v", "x"], n_buckets=4,
+              full_reaggregate_threshold=None)  # pin the incremental path
     agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
 
     merge_lww(src, spark.createDataFrame(
@@ -231,7 +234,8 @@ def test_fresh_state_root_resumes_from_applied(spark, tmp_table_dir):
     src = _mk_source(spark, d + "/src", [
         (1, "a", 10, 1.0, 1, "I"), (2, "b", 20, 2.0, 2, "I"),
     ])
-    kw = dict(group_cols=["grp"], sum_cols=["v", "x"], n_buckets=4)
+    kw = dict(group_cols=["grp"], sum_cols=["v", "x"], n_buckets=4,
+              full_reaggregate_threshold=None)  # pin the incremental path
     agg_sync(spark, d + "/src", d + "/state1", d + "/view", **kw)
 
     # same view, fresh state root, upstream unmoved: nothing applied
@@ -343,7 +347,8 @@ def test_minmax_monotone_rescan_and_nulls(spark, tmp_table_dir,
         (3, "a", 30, None, 3, "I"),
         (4, "b", None, None, 4, "I"),  # all-null measures
     ])
-    kw = dict(group_cols=["grp"], minmax_cols=["v", "x"], n_buckets=4)
+    kw = dict(group_cols=["grp"], minmax_cols=["v", "x"], n_buckets=4,
+              full_reaggregate_threshold=None)  # pin the incremental path
     agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
     assert _mm_view(spark, d + "/view") == _mm_oracle(spark, src)
     assert _mm_view(spark, d + "/view")["b"] == (1, None, None, None, None)
@@ -391,6 +396,7 @@ def test_minmax_group_move_retracts_old_group(spark, tmp_table_dir):
         (3, "b", 7, 3.0, 3, "I"),
     ])
     kw = dict(group_cols=["grp"], sum_cols=["v"], minmax_cols=["v"],
+              full_reaggregate_threshold=None,  # pin the incremental path
               n_buckets=4)
     agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
     # move the min row a -> b: a rescans (extremum retracted), b monotone
@@ -440,3 +446,81 @@ def test_table_changes_preimage_rows(spark, tmp_table_dir):
               for r in table_changes(src, v1).collect()}
     assert set(legacy) == {(1, "update"), (2, "delete"), (4, "insert")}
     assert legacy[(1, "update")]["grp"] == "z"
+
+
+def test_regime_chooser_picks_by_changed_unit_fraction(
+        spark, tmp_table_dir):
+    """The chooser reads the changed-unit fraction from manifest math: a
+    narrow advance (one key → one bucket) stays incremental; a wide
+    advance (every bucket rewritten) takes the from-scratch re-aggregate.
+    Both commit oracle-equal state, including tombstones for groups that
+    vanished during the wide advance."""
+    d = tmp_table_dir
+    rows = [(k, f"g{k % 5}", k, float(k), k + 1, "I") for k in range(40)]
+    src = _mk_source(spark, d + "/src", rows, n_buckets=8)
+    kw = dict(group_cols=["grp"], sum_cols=["v", "x"], n_buckets=4)
+    r0 = agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
+    assert r0["mode"] == "bootstrap"
+
+    # narrow: one key touches one bucket → fraction 1/8 < 0.5
+    merge_lww(src, spark.createDataFrame(
+        [(1, "g1", 999, 9.9, 100, "U")],
+        "k long, grp string, v long, x double, seq long, op string"),
+        ["k"])
+    r1 = agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
+    assert r1["mode"] == "incremental"
+    assert r1["changed_unit_fraction"] < 0.5
+    assert _view_dict(spark, d + "/view") == _oracle(spark, src)
+
+    # wide: rewrite every key (and delete group g4 entirely) → fraction 1.0
+    wide = [(k, f"g{k % 4}", k * 2, float(k), 200 + k, "U")
+            for k in range(40)]
+    merge_lww(src, spark.createDataFrame(
+        wide, "k long, grp string, v long, x double, seq long, op string"),
+        ["k"])
+    r2 = agg_sync(spark, d + "/src", d + "/vstate", d + "/view", **kw)
+    assert r2["mode"] == "full"
+    assert r2["changed_unit_fraction"] >= 0.5
+    want = _oracle(spark, src)
+    assert ("g4",) not in want  # group vanished in the wide advance
+    assert _view_dict(spark, d + "/view") == want
+
+    # threshold=None forces incremental even on a wide advance
+    merge_lww(src, spark.createDataFrame(
+        [(k, f"g{k % 4}", k * 3, float(k), 300 + k, "U")
+         for k in range(40)],
+        "k long, grp string, v long, x double, seq long, op string"),
+        ["k"])
+    r3 = agg_sync(spark, d + "/src", d + "/vstate", d + "/view",
+                  full_reaggregate_threshold=None, **kw)
+    assert r3["mode"] == "incremental"
+    assert _view_dict(spark, d + "/view") == _oracle(spark, src)
+
+
+def test_regime_paths_commit_identical_state(spark, tmp_table_dir):
+    """Property: advancing one view always-incremental and a twin
+    always-full over the same upstream history must leave bit-identical
+    visible view state (the chooser is cost-only, never semantic)."""
+    from gobblin_spark.lakehouse.merge import table_fingerprint
+
+    d = tmp_table_dir
+    generate_change_events(
+        spark, 2000, n_repos=8, paths_per_repo=30,
+        dup_frac=0.05, delete_frac=0.1, ooo_window=100,
+    ).write.parquet(d + "/events")
+    ev = spark.read.parquet(d + "/events")
+    hi = int(ev.agg(F.max("seq")).first()[0])
+    for cut in (hi // 2, hi):
+        eng = CdcEngine(spark, ev.filter(F.col("seq") <= cut), d + "/t",
+                        d + "/s", max_records_per_batch=100000, n_buckets=8)
+        eng.run_until_caught_up()
+        agg_sync(spark, d + "/t", d + "/vs_inc", d + "/v_inc",
+                 group_cols=["lang"], n_buckets=4,
+                 full_reaggregate_threshold=None)
+        agg_sync(spark, d + "/t", d + "/vs_full", d + "/v_full",
+                 group_cols=["lang"], n_buckets=4,
+                 full_reaggregate_threshold=0.0)
+    fi = table_fingerprint(LakeTable(spark, d + "/v_inc"))
+    ff = table_fingerprint(LakeTable(spark, d + "/v_full"))
+    assert fi["rows"] == ff["rows"] > 0
+    assert fi["fingerprint"] == ff["fingerprint"]

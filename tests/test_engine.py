@@ -297,3 +297,46 @@ def test_adaptive_compaction_delta_ratio_trigger(spark, tmp_table_dir):
          for r in quiet.current_state().collect()}
     assert a == b
     ev.unpersist()
+
+
+def test_auto_merge_mode_converges_and_picks_both_regimes(
+        spark, tmp_table_dir):
+    """merge_mode='auto' must (a) choose COW for the bootstrap/batch≈table
+    advances and MOR once batches are slivers of the table, purely from
+    manifest math, and (b) converge bit-identical to both static modes.
+    The mode actually chosen per batch is read back from the commit-log
+    metrics — not inferred."""
+    import pyspark.sql.functions as F
+
+    from gobblin_spark.lakehouse.merge import table_fingerprint
+    from gobblin_spark.sources import generate_change_events
+    from gobblin_spark.state.store import StateStore
+
+    d = tmp_table_dir
+    generate_change_events(
+        spark, 6000, n_repos=10, paths_per_repo=60,
+        dup_frac=0.05, delete_frac=0.08, ooo_window=150,
+    ).write.parquet(d + "/events")
+    ev = spark.read.parquet(d + "/events")
+
+    def run(root, **kw):
+        eng = CdcEngine(spark, ev, root + "/t", root + "/s",
+                        n_buckets=8, compact_every=3, **kw)
+        eng.run_until_caught_up()
+        return eng
+
+    # big first batch (bootstrap -> cow), then sliver batches (-> mor)
+    auto = run(d + "/auto", merge_mode="auto", max_records_per_batch=500)
+    docs = [c for c in StateStore(d + "/auto/s").committed_batches()
+            if c.get("kind") != "rollup"]
+    docs.sort(key=lambda c: c.get("committed_ms", 0))
+    modes = [c["metrics"].get("merge_mode") for c in docs]
+    assert modes[0] == "cow", "bootstrap batch must take COW"
+    assert "mor" in modes, "sliver batches against the grown table take MOR"
+
+    cow = run(d + "/cow", merge_mode="cow", max_records_per_batch=500)
+    mor = run(d + "/mor", merge_mode="mor", max_records_per_batch=500)
+    fa = table_fingerprint(auto.table)
+    assert fa["fingerprint"] == table_fingerprint(cow.table)["fingerprint"]
+    assert fa["fingerprint"] == table_fingerprint(mor.table)["fingerprint"]
+    assert fa["rows"] > 0

@@ -242,3 +242,32 @@ def test_patch_dialect_across_schema_evolution(spark, tmp_table_dir):
     # untouched v1 keys: evolved column reads null
     assert got[("repo_0", "src/f3.txt")] == ("c3", "body 3", None)
     assert len(got) == 6
+
+
+def test_column_dialect_is_deprecated_with_warning(spark, tmp_table_dir):
+    """Disposition of the 'column' dialect: DEPRECATED in favor of 'cell'
+    (same patch semantics, order-independent). Batch ingest still honors
+    it for existing tables but must say so loudly; 'cell' and 'row' stay
+    warning-free."""
+    import warnings
+
+    d = tmp_table_dir
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        CdcEngine(spark,
+                  spark.createDataFrame(patch_stream(), EVENT_SCHEMA),
+                  d + "/t", d + "/s",
+                  merge_dialect="column", n_buckets=4)
+    dep = [w for w in rec if issubclass(w.category, DeprecationWarning)
+           and "column" in str(w.message)]
+    assert dep, "column dialect must emit a DeprecationWarning"
+    assert "cell" in str(dep[0].message)  # points at the replacement
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        CdcEngine(spark,
+                  spark.createDataFrame(patch_stream(), EVENT_SCHEMA),
+                  d + "/t2", d + "/s2",
+                  merge_dialect="cell", n_buckets=4)
+    assert not [w for w in rec
+                if issubclass(w.category, DeprecationWarning)]
