@@ -82,13 +82,46 @@ def host_supply_probe(n_cores: int = 8, seconds: float = 3.0) -> dict:
             "stream512_mb_per_s": round(st, 1)}
 
 
+def probe_until_healthy(
+    threshold_mb_s: float | None = None,
+    max_wait_sec: float | None = None,
+    interval_sec: float = 45.0,
+) -> tuple[dict, list[dict], bool]:
+    """Probe gate (round-4 lesson: a host memory-budget collapse measured
+    the WINDOW, not the engine — stream512 fell to ~1 GB/s vs ~2.4 GB/s
+    healthy and the headline regressed 30% with identical code). Re-probe
+    until the 512 MB/core streaming control clears the threshold or the
+    wait budget runs out; the artifact records every probe plus a
+    ``host_degraded`` verdict, so a degraded-window number can never again
+    be read as an engine regression. Tunables: BENCH_PROBE_MIN_STREAM512
+    (MB/s, default 2000; 0 disables), BENCH_PROBE_WAIT_SEC (default 300)."""
+    thr = (float(os.environ.get("BENCH_PROBE_MIN_STREAM512", "2000"))
+           if threshold_mb_s is None else threshold_mb_s)
+    budget = (float(os.environ.get("BENCH_PROBE_WAIT_SEC", "300"))
+              if max_wait_sec is None else max_wait_sec)
+    history = []
+    deadline = time.time() + budget
+    while True:
+        p = host_supply_probe()
+        history.append(p)
+        if thr <= 0 or p["stream512_mb_per_s"] >= thr:
+            return p, history, False
+        if time.time() + interval_sec > deadline:
+            return p, history, True
+        print(f"# host probe degraded (stream512 "
+              f"{p['stream512_mb_per_s']} < {thr} MB/s), waiting "
+              f"{interval_sec:.0f}s for a healthy window...",
+              file=sys.stderr)
+        time.sleep(interval_sec)
+
+
 def main() -> None:
     from gobblin_spark.engine import CdcEngine
     from gobblin_spark.session import get_spark
     from gobblin_spark.sources import generate_change_events
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
-    probe = host_supply_probe()
+    probe, probe_history, degraded = probe_until_healthy()
     spark = get_spark("gobblin-spark-bench", parallelism=CPUS,
                       shuffle_partitions=max(CPUS, 16))
     spark.sparkContext.setLogLevel("ERROR")
@@ -221,9 +254,19 @@ def main() -> None:
         "cpus": CPUS,
         "sf": sf,
         "host_supply_probe": probe,
+        "host_supply_probe_end": host_supply_probe(),
+        "host_probe_history": probe_history,
         "queries": per_query,
         "phase_timings": timings,
     }
+    # degraded = the wait budget expired without a healthy window at START;
+    # also flag if the window collapsed DURING the run (end probe) — either
+    # way the numbers describe the host, not the engine
+    thr = float(os.environ.get("BENCH_PROBE_MIN_STREAM512", "2000"))
+    out["host_degraded"] = bool(
+        degraded or (thr > 0 and
+                     out["host_supply_probe_end"]["stream512_mb_per_s"]
+                     < thr))
     print(json.dumps(out))
 
 

@@ -13,21 +13,35 @@ import threading
 import pyspark.sql.functions as F
 import pytest
 
-from gobblin_spark.fsio import CommitConflict, LocalFs, ObjectStoreFs
+from gobblin_spark.fsio import (
+    CommitConflict, HadoopFs, LocalFs, ObjectStoreFs,
+)
 from gobblin_spark.lakehouse import ConcurrentCommitError, LakeTable
 from gobblin_spark.state.store import StateStore
 
 from tests.test_lakehouse import SCHEMA, make_df
 
 
-@pytest.fixture(params=["local", "objectstore"])
+@pytest.fixture(params=["local", "objectstore", "hadoop"])
 def commit_fs(request):
-    return LocalFs() if request.param == "local" else ObjectStoreFs()
+    if request.param == "local":
+        return LocalFs()
+    if request.param == "objectstore":
+        return ObjectStoreFs()
+    # Hadoop FileSystem API through the driver JVM, driven against
+    # file:// (RawLocalFileSystem) — the same class a real deployment
+    # points at hdfs://; only NameNode-arbitrated atomicity differs
+    return HadoopFs(spark=request.getfixturevalue("spark"), uri="file:///")
 
 
 def test_publish_if_absent_exactly_one_winner(commit_fs, tmp_table_dir):
     """16 threads race to publish the same target: exactly one wins, the
     rest get CommitConflict, and the winner's content is intact."""
+    if isinstance(commit_fs, HadoopFs):
+        pytest.skip("exclusive-create atomicity is NameNode-arbitrated; "
+                    "Hadoop's RawLocalFileSystem (the file:// test double) "
+                    "is check-then-open — single-writer semantics are "
+                    "covered by the rest of the suite")
     target = os.path.join(tmp_table_dir, "v1.json")
     wins, conflicts = [], []
     barrier = threading.Barrier(16)
@@ -84,7 +98,10 @@ def test_lake_table_protocol_over_fs(spark, tmp_table_dir, commit_fs):
     assert t.read().count() == 90
 
     # a second handle over the same fs type sees identical state
-    t2 = LakeTable(spark, root, fs=type(commit_fs)())
+    t2 = LakeTable(spark, root,
+                   fs=(HadoopFs(spark=spark, uri="file:///")
+                       if isinstance(commit_fs, HadoopFs)
+                       else type(commit_fs)()))
     assert t2.read().count() == 90
 
 
@@ -127,6 +144,41 @@ def test_engine_end_to_end_over_objectstore_fs(spark, tmp_table_dir):
 
     # replay from scratch state over the SAME fs-backed table: idempotent
     eng2 = make_engine(spark, tmp_table_dir, ev, fs=ObjectStoreFs())
+    res = eng2.run_until_caught_up()
+    assert sum(r.rows_read for r in res) == 0
+    ev.unpersist()
+
+
+def test_publish_conflict_single_thread_hadoop(spark, tmp_table_dir):
+    """The sequential half of the exactly-once contract on the Hadoop
+    path: second publish of the same target raises CommitConflict and the
+    first content is preserved."""
+    fs = HadoopFs(spark=spark, uri="file:///")
+    target = os.path.join(tmp_table_dir, "v1.json")
+    fs.publish_if_absent(b"first", target)
+    with pytest.raises(CommitConflict):
+        fs.publish_if_absent(b"second", target)
+    assert fs.read(target) == b"first"
+    assert ".crc" not in "".join(fs.listdir(tmp_table_dir))
+
+
+def test_engine_end_to_end_over_hadoop_fs(spark, tmp_table_dir):
+    """Full CDC apply + idempotent replay with every commit-protocol I/O
+    through the Hadoop FileSystem API — the HDFS deployment path, driven
+    here against file://."""
+    from tests.test_engine import events_fixture, make_engine, oracle_final
+    from tests.oracle import assert_frames_equal_by_sha
+
+    ev = events_fixture(spark, 1200)
+    fs = HadoopFs(spark=spark, uri="file:///")
+    eng = make_engine(spark, tmp_table_dir, ev, fs=fs)
+    eng.run_until_caught_up()
+    final = eng.current_state().select(
+        "repo", "path", "commit", "lang", "content")
+    assert_frames_equal_by_sha(final.toPandas(), oracle_final(ev.toPandas()))
+
+    eng2 = make_engine(spark, tmp_table_dir, ev,
+                       fs=HadoopFs(spark=spark, uri="file:///"))
     res = eng2.run_until_caught_up()
     assert sum(r.rows_read for r in res) == 0
     ev.unpersist()
