@@ -201,8 +201,12 @@ def test_typed_stats_col_with_string_probe(spark, tmp_table_dir):
     for probe in (True, "true"):
         got = read_current(t, value_eq={"flag": probe}).count()
         assert got == 40, probe
-    # uncoercible probe: no pruning, row filter decides (empty, no crash)
-    assert read_current(t, value_eq={"stars": "not-a-number"}).count() == 0
+    # uncoercible probe: RAISES (was silent-empty pre-round-5) — a string
+    # that cannot be the column's type can never match, and a predicate
+    # that silently matches nothing is how `delete --where` reports
+    # deleted:0 success over a typo'd value
+    with pytest.raises(ValueError, match="cannot be coerced"):
+        read_current(t, value_eq={"stars": "not-a-number"}).count()
 
     # unsupported stats-col types refused at create
     from pyspark.sql.types import DoubleType
