@@ -125,6 +125,7 @@ def cmd_ingest(args) -> int:
         compact_bucket_ratio=args.compact_bucket_ratio,
         compact_max_rows_per_file=args.compact_max_rows_per_file or None,
         log_keep_last=args.log_keep_last or None,
+        branch=args.branch or None,
     )
     t0 = time.time()
     results = eng.run_until_caught_up(max_batches=args.max_batches)
@@ -440,6 +441,8 @@ def cmd_compact(args) -> int:
     _resolve_table(args)
     spark = _get_session(args)
     table = LakeTable(spark, args.table)
+    if getattr(args, "branch", ""):
+        table = table.branch(args.branch)
     snap = compact(table, salt_buckets=args.salt_buckets,
                    max_rows_per_file=args.max_rows_per_file or None)
     print(json.dumps({
@@ -479,6 +482,11 @@ def cmd_fingerprint(args) -> int:
     _resolve_table(args)
     spark = _get_session(args)
     table = LakeTable(spark, args.table)
+    if getattr(args, "branch", ""):
+        if getattr(args, "tag", ""):
+            raise SystemExit("--tag names a main-chain version; it cannot "
+                             "select a snapshot on --branch")
+        table = table.branch(args.branch)
     version = args.version or None
     if getattr(args, "tag", ""):
         version = table.resolve_tag(args.tag)
@@ -561,6 +569,52 @@ def cmd_tag(args) -> int:
         print(json.dumps({"dropped": args.name}))
     else:
         print(json.dumps(table.tags(), indent=2))
+    return 0
+
+
+def cmd_branch(args) -> int:
+    """Zero-copy branches + write-audit-publish (LakeTable.create_branch /
+    fast_forward; ≙ Iceberg branch refs / the WAP pattern). create forks
+    the snapshot chain at a version (metadata-only, O(1) at any table
+    size); ingest/compaction then target the branch with --branch; audit
+    with fingerprint/export --branch; publish atomically fast-forwards
+    main to the branch head (refused if main advanced since the fork —
+    the audited state would no longer describe main+branch). No Spark
+    needed for any of these: all four are manifest-level operations."""
+    from gobblin_spark.lakehouse import LakeTable
+
+    _resolve_table(args)
+    table = LakeTable(None, args.table)
+    if args.action == "create":
+        if not args.name:
+            raise SystemExit("branch create requires --name")
+        version = args.version or None
+        if args.tag:
+            version = table.resolve_tag(args.tag)
+        b = table.create_branch(args.name, version=version)
+        print(json.dumps({"branch": args.name,
+                          "base_version": b.snapshot().version}))
+    elif args.action == "drop":
+        if not args.name:
+            raise SystemExit("branch drop requires --name")
+        table.drop_branch(args.name)
+        print(json.dumps({"dropped": args.name}))
+    elif args.action == "publish":
+        if not args.name:
+            raise SystemExit("branch publish requires --name")
+        snap = table.fast_forward(args.name)
+        print(json.dumps({
+            "published": args.name,
+            "main_version": snap.version,
+            "branch_head_version": snap.properties["branch_head_version"],
+        }))
+    else:
+        out = []
+        for name, base in sorted(table.branches().items()):
+            head = table.branch(name).current_version()
+            out.append({"name": name, "base_version": base,
+                        "head_version": head})
+        print(json.dumps(out, indent=2))
     return 0
 
 
@@ -650,6 +704,11 @@ def cmd_export(args) -> int:
     _resolve_table(args)
     spark = _get_session(args)
     table = LakeTable(spark, args.table)
+    if getattr(args, "branch", ""):
+        if getattr(args, "tag", ""):
+            raise SystemExit("--tag names a main-chain version; it cannot "
+                             "select a snapshot on --branch")
+        table = table.branch(args.branch)
     where = dict(kv.split("=", 1) for kv in (args.where or []))
     version = args.version or None
     if getattr(args, "tag", ""):
@@ -1016,6 +1075,12 @@ def main(argv: list[str] | None = None) -> int:
                           "pmod(event_group, S) = K; run S ingest jobs "
                           "(one per executor/container), each with its own "
                           "--table/--state, to divide a stream")
+    ing.add_argument("--branch", default="",
+                     help="write-audit-publish: ingest into this branch "
+                          "of an EXISTING table (auto-created at main's "
+                          "current version); main is untouched until "
+                          "`branch publish`. Use a dedicated --state root "
+                          "per branch")
     ing.add_argument("--local-cores", type=int, default=0,
                      help="dev only: build a local[N] session instead of "
                           "using the spark-submit session")
@@ -1133,6 +1198,8 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--max-rows-per-file", type=int, default=0,
                     help="hash-split buckets above this row count over "
                          "multiple output files (giant-bucket guard)")
+    cp.add_argument("--branch", default="",
+                    help="compact a branch's chain (pre-publish fold)")
     cp.add_argument("--local-cores", type=int, default=0)
 
     rs = sub.add_parser(
@@ -1156,6 +1223,9 @@ def main(argv: list[str] | None = None) -> int:
     fp.add_argument("--version", type=int, default=0,
                     help="snapshot version (default: current)")
     fp.add_argument("--tag", default="", help="fingerprint at a named tag")
+    fp.add_argument("--branch", default="",
+                    help="fingerprint a branch's chain (audit step of "
+                         "write-audit-publish)")
     fp.add_argument("--algo", choices=["sha256", "xxhash64"],
                     default="sha256")
     fp.add_argument("--local-cores", type=int, default=0)
@@ -1186,6 +1256,23 @@ def main(argv: list[str] | None = None) -> int:
     tg.add_argument("--name", default="")
     tg.add_argument("--version", type=int, default=0,
                     help="version to pin (default: current)")
+
+    br = sub.add_parser(
+        "branch",
+        help="zero-copy branches + write-audit-publish: create forks the "
+             "snapshot chain (metadata-only), ingest --branch writes to "
+             "it, publish atomically fast-forwards main to the audited "
+             "branch head; no Spark needed",
+    )
+    br.add_argument("action", choices=["create", "list", "drop", "publish"])
+    br.add_argument("--table", required=True,
+                    help="LakeTable root, or a catalog NAME with --catalog")
+    br.add_argument("--catalog", default="")
+    br.add_argument("--name", default="")
+    br.add_argument("--version", type=int, default=0,
+                    help="create: fork base version (default: current)")
+    br.add_argument("--tag", default="",
+                    help="create: fork at this tag's version")
 
     dl = sub.add_parser(
         "delete",
@@ -1233,6 +1320,9 @@ def main(argv: list[str] | None = None) -> int:
                              "avro"])
     xp.add_argument("--version", type=int, default=0)
     xp.add_argument("--tag", default="", help="read at a named tag")
+    xp.add_argument("--branch", default="",
+                    help="read a branch's visible state (audit step of "
+                         "write-audit-publish)")
     xp.add_argument("--where", action="append", default=[],
                     help="equality predicate col=value (repeatable; "
                          "string-typed comparison)")
@@ -1460,6 +1550,7 @@ def main(argv: list[str] | None = None) -> int:
             "fingerprint": cmd_fingerprint, "verify": cmd_verify,
             "rescale": cmd_rescale, "export": cmd_export,
             "delete": cmd_delete, "purge": cmd_purge, "tag": cmd_tag,
+            "branch": cmd_branch,
             "vacuum": cmd_vacuum, "maintain": cmd_maintain,
             "dedup": cmd_dedup,
             "changes": cmd_changes, "expire": cmd_expire,

@@ -199,6 +199,7 @@ class CdcEngine:
         fs=None,
         stats_cols: list[str] | None = None,
         auto_rescale_bytes: int | None = None,
+        branch: str | None = None,
     ):
         """merge_mode: 'cow' rewrites affected buckets per batch (zero read
         amplification); 'mor' appends delta files per batch and compacts
@@ -295,7 +296,22 @@ class CdcEngine:
         self.task_policies = task_policies or []
         self.plan_partitioning = plan_partitioning
         self.auto_rescale_bytes = auto_rescale_bytes
-        if LakeTable.exists(table_root, fs=fs):
+        if branch:
+            # write-audit-publish: ingest lands on the branch chain; main
+            # is untouched until fast_forward. The branch must fork from
+            # an existing table (a branch of nothing has no fork point),
+            # and is auto-created at main's current version on first use.
+            # Use a DEDICATED state_root per branch: watermarks describe
+            # the chain they were committed against.
+            if not LakeTable.exists(table_root, fs=fs):
+                raise FileNotFoundError(
+                    f"branch={branch!r} needs an existing table at "
+                    f"{table_root} to fork from")
+            main = LakeTable(spark, table_root, fs=fs)
+            if branch not in main.branches():
+                main.create_branch(branch)
+            self.table = main.branch(branch)
+        elif LakeTable.exists(table_root, fs=fs):
             self.table = LakeTable(spark, table_root, fs=fs)
         else:
             self.table = LakeTable.create(

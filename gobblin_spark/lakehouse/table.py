@@ -394,10 +394,14 @@ class LakeTable:
     touching this class."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 fs: CommitFs | None = None):
+                 fs: CommitFs | None = None, branch: str | None = None):
         self.spark = spark
         self.root = root
         self.fs = fs or DEFAULT_FS
+        # branch handles share the table's data dir, shard pool and tags
+        # but read/commit their OWN manifest chain under
+        # _meta/branches/<name>/ (zero-copy fork; see create_branch)
+        self.branch_name = branch
         # shard files are immutable once published → cache by name
         self._shard_cache: dict[str, list[DataFile]] = {}
 
@@ -406,8 +410,17 @@ class LakeTable:
     def _meta_dir(self) -> str:
         return os.path.join(self.root, _META)
 
+    @property
+    def _manifest_dir(self) -> str:
+        """Where this handle's snapshot chain lives: the shared _meta dir
+        for main, a per-branch subdir for branch handles. Shards and tags
+        always live in the shared _meta dir."""
+        if self.branch_name:
+            return os.path.join(self._meta_dir, "branches", self.branch_name)
+        return self._meta_dir
+
     def _manifest_path(self, version: int) -> str:
-        return os.path.join(self._meta_dir, f"v{version:0{_V_DIGITS}d}.json")
+        return os.path.join(self._manifest_dir, f"v{version:0{_V_DIGITS}d}.json")
 
     # ------------------------------------------------------------ lifecycle
     @staticmethod
@@ -491,11 +504,11 @@ class LakeTable:
         )
 
     def current_version(self) -> int | None:
-        if not self.fs.exists(self._meta_dir):
+        if not self.fs.exists(self._manifest_dir):
             return None
         versions = [
             int(n[1 : 1 + _V_DIGITS])
-            for n in self.fs.listdir(self._meta_dir)
+            for n in self.fs.listdir(self._manifest_dir)
             if n.startswith("v") and n.endswith(".json")
         ]
         return max(versions) if versions else None
@@ -545,11 +558,11 @@ class LakeTable:
     def versions(self) -> list[int]:
         """Retained snapshot versions, ascending (expired ones are gone —
         the list is NOT necessarily contiguous from 1)."""
-        if not self.fs.exists(self._meta_dir):
+        if not self.fs.exists(self._manifest_dir):
             return []
         return sorted(
             int(n[1 : 1 + _V_DIGITS])
-            for n in self.fs.listdir(self._meta_dir)
+            for n in self.fs.listdir(self._manifest_dir)
             if n.startswith("v") and n.endswith(".json")
         )
 
@@ -1152,6 +1165,7 @@ class LakeTable:
     def set_tag(self, name: str, version: int | None = None) -> int:
         """Pin ``version`` (default: current) under ``name``. Overwrites an
         existing tag (LWW, like catalog registration)."""
+        self._require_main("set_tag")
         if not name or "/" in name or name.startswith("."):
             raise ValueError(f"bad tag name: {name!r}")
         v = int(version) if version else self.current_version()
@@ -1176,15 +1190,184 @@ class LakeTable:
         return out
 
     def resolve_tag(self, name: str) -> int:
+        # tags name MAIN-chain versions; resolving one against a branch
+        # chain (which diverges after its fork base) would silently read
+        # the wrong snapshot
+        self._require_main("resolve_tag")
         p = os.path.join(self._tags_dir, f"{name}.json")
         if not self.fs.exists(p):
             raise KeyError(f"no tag {name!r}")
         return int(json.loads(self.fs.read(p))["version"])
 
     def drop_tag(self, name: str) -> None:
+        self._require_main("drop_tag")
         p = os.path.join(self._tags_dir, f"{name}.json")
         if self.fs.exists(p):
             self.fs.remove(p)
+
+    # -------------------------------------------------------------- branches
+    # Zero-copy branches + write-audit-publish (≙ Iceberg branch refs /
+    # the WAP pattern; the reference's analog is speculative-publish via
+    # staging dirs, BaseDataPublisher.java:190-244, done here at the
+    # snapshot-metadata level instead of file moves). A branch is a fork of
+    # the snapshot chain: its manifests live under _meta/branches/<name>/
+    # while data files, manifest shards and tags stay SHARED with main —
+    # creating a branch writes one small JSON (O(1) at any table size;
+    # contrast clone.py, which byte-copies data for DR). Writers commit to
+    # the branch chain with the same optimistic protocol; main never sees
+    # branch state until fast_forward publishes the branch head as main's
+    # next version in ONE atomic publish_if_absent. Audit = run any read
+    # (fingerprint, quality policies, row counts) against the branch handle
+    # before publishing. vacuum() treats every branch's history as live, so
+    # a branch's exclusive files are reclaimed only after drop_branch.
+    _BRANCH_MARKER_SUFFIX = ".branch.json"
+
+    def _branches_dir(self) -> str:
+        return os.path.join(self._meta_dir, "branches")
+
+    def _require_main(self, op: str) -> None:
+        if self.branch_name:
+            raise ValueError(
+                f"{op} must be called on the main table handle, not the "
+                f"branch handle {self.branch_name!r}")
+
+    def branches(self) -> dict[str, int]:
+        """name -> fork-base main version, from the atomic creation
+        markers (marker files, not directory listings, so the listing is
+        exact on flat object stores too)."""
+        d = self._branches_dir()
+        if not self.fs.exists(d):
+            return {}
+        out = {}
+        for n in self.fs.listdir(d):
+            if n.endswith(self._BRANCH_MARKER_SUFFIX):
+                doc = json.loads(self.fs.read(os.path.join(d, n)))
+                out[doc["name"]] = int(doc["base_version"])
+        return out
+
+    def branch(self, name: str) -> "LakeTable":
+        """A handle onto an existing branch's chain (same root/fs)."""
+        self._require_main("branch")
+        marker = os.path.join(self._branches_dir(),
+                              f"{name}{self._BRANCH_MARKER_SUFFIX}")
+        if not self.fs.exists(marker):
+            raise KeyError(f"no branch {name!r} at {self.root}")
+        return LakeTable(self.spark, self.root, fs=self.fs, branch=name)
+
+    def create_branch(self, name: str,
+                      version: int | None = None) -> "LakeTable":
+        """Fork the chain at ``version`` (default: current) — metadata-only.
+
+        The branch's first manifest is the base snapshot republished into
+        the branch dir at the SAME version number (shard refs reused
+        byte-for-byte), so branch reads, commits, compaction and time
+        travel all work unchanged through the branch handle. The creation
+        marker is published with publish_if_absent: exactly one creator
+        wins, even on object stores."""
+        self._require_main("create_branch")
+        if (not name or "/" in name or name.startswith(".")
+                or name.endswith(".json")):
+            raise ValueError(f"bad branch name: {name!r}")
+        base = self.snapshot(version)
+        self.fs.makedirs(self._branches_dir())
+        marker = os.path.join(self._branches_dir(),
+                              f"{name}{self._BRANCH_MARKER_SUFFIX}")
+        doc = json.dumps({"name": name, "base_version": base.version,
+                          "created_ms": int(time.time() * 1000)})
+        try:
+            self.fs.publish_if_absent(doc.encode(), marker)
+        except CommitConflict as exc:
+            raise FileExistsError(
+                f"branch {name!r} already exists at {self.root}") from exc
+        b = LakeTable(self.spark, self.root, fs=self.fs, branch=name)
+        self.fs.makedirs(b._manifest_dir)
+        props = dict(base.properties)
+        props["branch_name"] = name
+        props["branch_base_version"] = base.version
+        snap = Snapshot(
+            version=base.version,
+            parent=base.parent,
+            timestamp_ms=int(time.time() * 1000),
+            schema_json=base.schema_json,
+            schema_version=base.schema_version,
+            schema_log=base.schema_log,
+            n_buckets=base.n_buckets,
+            bucket_cols=base.bucket_cols,
+            key_cols=base.key_cols,
+            partition_spec=base.partition_spec,
+            properties=props,
+            files=base.files,
+            shard_refs=base.shard_refs,
+            shard_map=base.shard_map,
+        )
+        b._publish_manifest(snap)
+        return b
+
+    def drop_branch(self, name: str) -> None:
+        """Remove the branch's manifests + marker. Its exclusive data
+        files/shards become unreferenced and the next vacuum() reclaims
+        them; files shared with main (the fork image) stay live through
+        main's history."""
+        self._require_main("drop_branch")
+        b = LakeTable(self.spark, self.root, fs=self.fs, branch=name)
+        if self.fs.exists(b._manifest_dir):
+            self.fs.remove_tree(b._manifest_dir)
+        marker = os.path.join(self._branches_dir(),
+                              f"{name}{self._BRANCH_MARKER_SUFFIX}")
+        if self.fs.exists(marker):
+            self.fs.remove(marker)
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Atomically publish branch ``name``'s head as main's next
+        version (write-audit-publish). Requires main to still be at the
+        branch's fork base — if main advanced, the audited state no longer
+        describes "main + this branch's changes" and the publish raises
+        ConcurrentCommitError (re-fork, re-audit, retry). The arbiter is
+        the same publish_if_absent on main's v(base+1) that every commit
+        uses, so a racing ingest commit and a fast-forward cannot both
+        land. O(1) metadata; no data file or shard is touched. The branch
+        is left intact (its audit history stays browsable until
+        drop_branch)."""
+        self._require_main("fast_forward")
+        head = self.branch(name).snapshot()
+        base = head.properties.get("branch_base_version")
+        if base is None:
+            raise ValueError(
+                f"branch {name!r} head has no recorded fork base")
+        base = int(base)
+        if head.version == base:
+            raise ValueError(
+                f"branch {name!r} has no commits beyond its fork base "
+                f"v{base}; nothing to publish")
+        cur = self.current_version()
+        if cur != base:
+            raise ConcurrentCommitError(
+                f"fast-forward {name!r}: main is at v{cur} but the branch "
+                f"forked at v{base} — main advanced since the audit; "
+                f"re-fork and re-audit")
+        props = dict(head.properties)
+        props.pop("branch_name", None)
+        props.pop("branch_base_version", None)
+        props["published_from_branch"] = name
+        props["branch_head_version"] = head.version
+        snap = Snapshot(
+            version=base + 1,
+            parent=base,
+            timestamp_ms=int(time.time() * 1000),
+            schema_json=head.schema_json,
+            schema_version=head.schema_version,
+            schema_log=head.schema_log,
+            n_buckets=head.n_buckets,
+            bucket_cols=head.bucket_cols,
+            key_cols=head.key_cols,
+            partition_spec=head.partition_spec,
+            properties=props,
+            files=head.files,
+            shard_refs=head.shard_refs,
+            shard_map=head.shard_map,
+        )
+        self._publish_manifest(snap)
+        return snap
 
     def expire_snapshots(
         self, keep_last: int = 1, older_than_ms: int | None = None
@@ -1209,7 +1392,9 @@ class LakeTable:
         is a durable retention pin, not advisory metadata."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        pinned = set(self.tags().values())
+        # tags pin MAIN-chain versions only; a branch chain's version ints
+        # are a different lineage after the fork, so pins don't apply there
+        pinned = set() if self.branch_name else set(self.tags().values())
         versions = self.versions()
         candidates = versions[:-keep_last] if keep_last else versions
         expired = [
@@ -1357,14 +1542,25 @@ class LakeTable:
         Also removes manifest shards no snapshot references (orphans from
         commits that crashed between shard write and manifest publish).
         Data files are listed/removed on the DATA plane (Hadoop FS for the
-        table URI); manifest shards on the metadata CommitFs."""
+        table URI); manifest shards on the metadata CommitFs.
+
+        Branch-aware: every branch's retained history counts as live too
+        (branches share main's data dir and shard pool), so a branch's
+        exclusive files survive until drop_branch removes its chain."""
+        self._require_main("vacuum")
         live: set[str] = set()
         live_shards: set[str] = set()
-        for snap in self.history():
-            for f_ in snap.files:
-                live.add(os.path.normpath(os.path.join(self.root, f_.path)))
-            for name, _fl in snap.shard_map or []:
-                live_shards.add(name)
+        handles = [self] + [
+            LakeTable(self.spark, self.root, fs=self.fs, branch=n)
+            for n in self.branches()
+        ]
+        for h in handles:
+            for snap in h.history():
+                for f_ in snap.files:
+                    live.add(os.path.normpath(
+                        os.path.join(self.root, f_.path)))
+                for name, _fl in snap.shard_map or []:
+                    live_shards.add(name)
         removed = 0
         data_root = os.path.join(self.root, _DATA)
         for full in self._walk_data_files(data_root):

@@ -692,6 +692,40 @@ def q_cdc_clone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (LakeTable.create_branch / fast_forward ≙
+    Iceberg branch refs + WAP): ingest the first half of the stream into
+    MAIN, fork a zero-copy branch, apply the rest of the stream to the
+    BRANCH only, then atomically fast-forward main to the audited branch
+    head. Reading main afterward must equal the full-replay visible state
+    — proving the branch fork carried the complete fork image, branch
+    commits composed with it correctly, and the publish swapped in the
+    branch head losslessly."""
+    import shutil
+    import tempfile
+
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import merge_lww, read_current
+
+    stream = _event_cdc_stream(spark, sf_dir)
+    w1 = stream.agg(F.floor(F.max("seq") / 2).cast("long")).first()[0]
+    d = tempfile.mkdtemp(prefix="gs_wap_")
+    try:
+        t = LakeTable.create(spark, f"{d}/table", _event_table_schema(),
+                             ["user_id"], n_buckets=8)
+        merge_lww(t, stream.filter(F.col("seq") <= w1), ["user_id"])
+        b = t.create_branch("audit")
+        merge_lww(b, stream.filter(F.col("seq") > w1), ["user_id"])
+        t.fast_forward("audit")
+        out = (read_current(t)
+               .select("user_id", "event_type",
+                       F.round("value", 6).alias("value"))
+               .orderBy("user_id"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 SQL_CDC_AGG_VIEW = """
 WITH ev AS (
   SELECT user_id, event_id AS seq,
@@ -2254,6 +2288,7 @@ QUERIES = {
     "cdc_sync_downstream": q_cdc_sync_downstream,
     "cdc_agg_view": q_cdc_agg_view,
     "cdc_clone_roundtrip": q_cdc_clone_roundtrip,
+    "cdc_wap_publish": q_cdc_wap_publish,
     "cdc_table_fingerprint": q_cdc_table_fingerprint,
     "cdc_rescale_final_state": q_cdc_rescale_final_state,
     "cdc_secondary_scan": q_cdc_secondary_scan,
@@ -2322,6 +2357,7 @@ def oracle_sqls() -> dict[str, str]:
         # a clone must read back as the upstream's full-replay visible
         # state — that equality IS the replication property
         "cdc_clone_roundtrip": SQL_CDC_VISIBLE_STATE,
+        "cdc_wap_publish": SQL_CDC_VISIBLE_STATE,
         "cdc_table_fingerprint": SQL_CDC_FINGERPRINT,
         # mid-stream bucket rescale must leave the final state identical
         # to the plain full replay — that invariance IS the property
