@@ -95,8 +95,14 @@ def main() -> None:
     gen_sec = round(time.time() - t0, 3)
     small_cap = max(1, n_events // SMALL_BATCHES)
 
+    from bench import host_supply_probe
+
     out_modes: dict[str, dict] = {}
     for mode in ("cow", "mor", "auto"):
+        # per-leg supply probes: legs run sequentially and this host's
+        # streaming supply flaps 5x+ on a minutes timescale, so a
+        # mode-vs-mode ratio is only interpretable next to the probes
+        probe_pre = host_supply_probe()
         eng = CdcEngine(
             spark,
             events,
@@ -139,6 +145,8 @@ def main() -> None:
                   if c.get("kind") != "rollup"]
         out_modes[mode] = {
             "chosen_modes": chosen if mode == "auto" else None,
+            "probe_pre": probe_pre,
+            "probe_post": host_supply_probe(),
             "seed_sec": seed_sec,
             "table_rows_seeded": table_rows,
             "warmup_rows": warm.rows_read,
