@@ -22,7 +22,15 @@ import sys
 import tempfile
 import time
 
-os.environ.setdefault("SPARK_DRIVER_MEM", "48g")  # local-mode heap = the whole 'cluster'
+# Local-mode heap = the whole 'cluster'. RIGHT-SIZED, not maximized: the
+# JVM's touched working set scales with max heap (young gen fills the
+# heap between collections), and on a host whose memory supply degrades
+# with total hot pages (BENCH/BASELINE.md §6-7) an oversized heap is a
+# measured 1.3-1.9x throughput loss — interleaved 6g-vs-48g COW legs ran
+# 40-41k vs 21-31k events/s (BENCH/heap_ab_r5.json), and the full bench's
+# COW headline recovered 64.6k -> 74.0k at 16g. 16g comfortably fits the
+# sf0.1 workload (zstd shuffle ~0.9 GB, all 53 queries green).
+os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 if os.path.isdir("/dev/shm"):
     os.environ.setdefault("GOBBLIN_LOCAL_DIR", "/dev/shm/spark-local")
 
