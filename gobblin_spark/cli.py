@@ -503,9 +503,16 @@ def cmd_verify(args) -> int:
 
     _resolve_table(args)
     spark = _get_session(args)
-    a = table_fingerprint(LakeTable(spark, args.table),
-                          version=args.version or None, algo=args.algo)
-    b = table_fingerprint(LakeTable(spark, args.other),
+    left = LakeTable(spark, args.table)
+    if getattr(args, "branch", ""):
+        left = left.branch(args.branch)
+    # --other may be the SAME root with --other-branch: the WAP audit
+    # "does this branch match main (or another branch)?" in one command
+    right = LakeTable(spark, args.other)
+    if getattr(args, "other_branch", ""):
+        right = right.branch(args.other_branch)
+    a = table_fingerprint(left, version=args.version or None, algo=args.algo)
+    b = table_fingerprint(right,
                           version=args.other_version or None, algo=args.algo)
     match = (a["rows"] == b["rows"]
              and a["fingerprint"] == b["fingerprint"]
@@ -760,6 +767,11 @@ def cmd_changes(args) -> int:
 
     spark = _get_session(args)
     table = LakeTable(spark, args.table)
+    if getattr(args, "branch", ""):
+        if getattr(args, "from_tag", "") or getattr(args, "to_tag", ""):
+            raise SystemExit("tags name main-chain versions; use "
+                             "--from-version/--to-version with --branch")
+        table = table.branch(args.branch)
     from_v = args.from_version
     if getattr(args, "from_tag", ""):
         if from_v:
@@ -1240,6 +1252,11 @@ def main(argv: list[str] | None = None) -> int:
     vf.add_argument("--other", required=True, help="second table root")
     vf.add_argument("--version", type=int, default=0)
     vf.add_argument("--other-version", type=int, default=0)
+    vf.add_argument("--branch", default="",
+                    help="compare --table's branch instead of its main")
+    vf.add_argument("--other-branch", default="",
+                    help="compare --other's branch (e.g. --other same "
+                         "root: branch-vs-main WAP audit in one command)")
     vf.add_argument("--algo", choices=["sha256", "xxhash64"],
                     default="sha256")
     vf.add_argument("--local-cores", type=int, default=0)
@@ -1362,6 +1379,9 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--to-version", type=int, default=0,
                     help="default: current version")
     ch.add_argument("--out", default="", help="optional parquet sink")
+    ch.add_argument("--branch", default="",
+                    help="read the changelog of a branch's chain (version "
+                         "selectors refer to branch versions)")
     ch.add_argument("--local-cores", type=int, default=0)
 
     ex = sub.add_parser(

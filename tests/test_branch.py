@@ -268,3 +268,34 @@ def test_branch_cli_wap_e2e(spark, tmp_table_dir):
     with pytest.raises(SystemExit):
         cli(["fingerprint", "--table", d + "/t", "--branch", "b2",
              "--tag", "r1", "--local-cores", "4"])
+
+
+def test_branch_cli_verify_and_changes(spark, tmp_table_dir):
+    """`verify --other-branch` (branch-vs-main audit on one root) and
+    `changes --branch` (branch-chain changelog)."""
+    from gobblin_spark.cli import main as cli
+
+    d = tmp_table_dir
+    ev = _events(spark, d, n=1200)
+    first, _ = _split_events(ev)
+    first.write.parquet(d + "/ev_first")
+    cli(["ingest", "--events", d + "/ev_first", "--table", d + "/t",
+         "--state", d + "/s", "--buckets", "4", "--local-cores", "4"])
+    main_t = LakeTable(spark, d + "/t")
+    base_v = main_t.current_version()
+    main_t.create_branch("audit")
+    # branch == main right after the fork
+    assert cli(["verify", "--table", d + "/t", "--other", d + "/t",
+                "--other-branch", "audit", "--local-cores", "4"]) == 0
+    cli(["ingest", "--events", d + "/events", "--table", d + "/t",
+         "--state", d + "/s_b", "--buckets", "4", "--branch", "audit",
+         "--local-cores", "4"])
+    # diverged now: exit 2
+    assert cli(["verify", "--table", d + "/t", "--other", d + "/t",
+                "--other-branch", "audit", "--local-cores", "4"]) == 2
+    # branch-chain changelog from the fork base to the branch head
+    assert cli(["changes", "--table", d + "/t", "--branch", "audit",
+                "--from-version", str(base_v), "--local-cores", "4"]) == 0
+    with pytest.raises(SystemExit, match="main-chain"):
+        cli(["changes", "--table", d + "/t", "--branch", "audit",
+             "--from-tag", "x", "--local-cores", "4"])
