@@ -700,10 +700,45 @@ def cmd_purge(args) -> int:
     return 2 if blocking else 0
 
 
+def _parse_where(items: list[str]) -> tuple[dict, dict]:
+    """Parse --where clauses into (value_eq, value_range).
+
+    Supported: col=value (equality; bloom-skipped), col>=v / col<=v /
+    col>v / col<v (range; [min,max]-bounds-skipped). Multiple clauses AND;
+    two range clauses on one column form an interval (BETWEEN)."""
+    eq: dict = {}
+    rng: dict = {}
+    for kv in items or []:
+        for op in (">=", "<=", ">", "<", "="):
+            if op in kv:
+                c, v = kv.split(op, 1)
+                c = c.strip()
+                v = v.strip()
+                if op == "=":
+                    eq[c] = v
+                else:
+                    iv = rng.setdefault(
+                        c, {"lo": None, "hi": None,
+                            "lo_strict": False, "hi_strict": False})
+                    side = "lo" if op[0] == ">" else "hi"
+                    if iv[side] is not None:
+                        raise SystemExit(
+                            f"--where: duplicate {side!r} bound for {c!r}")
+                    iv[side] = v
+                    iv[f"{side}_strict"] = (len(op) == 1)
+                break
+        else:
+            raise SystemExit(f"--where needs col=value or col>=/<=/>/<"
+                             f"value, got {kv!r}")
+    return eq, rng
+
+
 def cmd_export(args) -> int:
     """Export the visible table state (optionally filtered) to a format
     sink. ``--where col=value`` uses manifest value-stats blooms to skip
-    non-matching files at planning time on compacted tables."""
+    non-matching files at planning time on compacted tables; range
+    predicates (``--where 'col>=v'``) skip via the per-file [min,max]
+    value bounds recorded in the same stats pass."""
     from gobblin_spark.lakehouse import LakeTable
     from gobblin_spark.lakehouse.merge import read_current
     from gobblin_spark.sinks import write_files
@@ -716,11 +751,12 @@ def cmd_export(args) -> int:
             raise SystemExit("--tag names a main-chain version; it cannot "
                              "select a snapshot on --branch")
         table = table.branch(args.branch)
-    where = dict(kv.split("=", 1) for kv in (args.where or []))
+    where, where_range = _parse_where(args.where)
     version = args.version or None
     if getattr(args, "tag", ""):
         version = table.resolve_tag(args.tag)
-    df = read_current(table, version=version, value_eq=where or None)
+    df = read_current(table, version=version, value_eq=where or None,
+                      value_range=where_range or None)
     import pyspark.sql.functions as F
     from pyspark.sql.observation import Observation
 
@@ -728,7 +764,8 @@ def cmd_export(args) -> int:
     df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     write_files(df, args.out, fmt=args.format)
     print(json.dumps({"rows": int(obs.get["n"]), "out": args.out,
-                      "where": where or None}))
+                      "where": where or None,
+                      "where_range": where_range or None}))
     return 0
 
 
@@ -1341,8 +1378,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="read a branch's visible state (audit step of "
                          "write-audit-publish)")
     xp.add_argument("--where", action="append", default=[],
-                    help="equality predicate col=value (repeatable; "
-                         "string-typed comparison)")
+                    help="predicate col=value (bloom file skipping) or "
+                         "col>=/<=/>/<value (min-max-bounds file "
+                         "skipping); repeatable, clauses AND; two range "
+                         "clauses on one column form a BETWEEN")
     xp.add_argument("--local-cores", type=int, default=0)
 
     vac = sub.add_parser("vacuum", help="remove orphaned data files")

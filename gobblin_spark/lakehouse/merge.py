@@ -805,6 +805,7 @@ def read_current(
     table: LakeTable,
     version: int | None = None,
     value_eq: dict[str, Any] | None = None,
+    value_range: dict[str, dict] | None = None,
 ) -> DataFrame:
     """The visible (non-tombstone) state of a CDC target table. For a table
     with outstanding MOR deltas, resolves LWW across base+delta files first
@@ -818,11 +819,18 @@ def read_current(
     UNSOUND (a key's winning row may live in a file the predicate
     excludes, resurrecting an older matching row), so the read falls back
     to the full resolve and filters rows only. Either way the row filter
-    is always applied (blooms are approximate)."""
+    is always applied (blooms are approximate).
+
+    ``value_range``: interval predicate per stats column —
+    {col: {"lo": v|None, "hi": v|None, "lo_strict": bool, "hi_strict":
+    bool}} — pruned at planning time via the per-file [min,max] value
+    bounds under the same compacted-only soundness gate, with the exact
+    row filter always applied."""
     snap = table.snapshot(version)
     deltas = int(snap.properties.get("mor_deltas", 0)) > 0
     df = table.read(version,
-                    value_eq=value_eq if not deltas else None)
+                    value_eq=value_eq if not deltas else None,
+                    value_range=value_range if not deltas else None)
     if deltas:
         df = stored_reduce(snap, df, snap.merge_keys)
     if DELETED_COL in df.columns:
@@ -850,6 +858,27 @@ def read_current(
             if cv is None:
                 cv = _coerce_probe_extended(v, t)
             df = df.filter(F.col(c) == F.lit(cv))
+    if value_range:
+        from gobblin_spark.lakehouse.table import (
+            _coerce_probe, _coerce_probe_extended,
+        )
+        import operator
+
+        types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
+        for c, iv in value_range.items():
+            t = types.get(c, "string")
+            for side, op_strict, op in (("lo", operator.gt, operator.ge),
+                                        ("hi", operator.lt, operator.le)):
+                v = iv.get(side)
+                if v is None:
+                    continue
+                cv = _coerce_probe(v, t)
+                if cv is None and not isinstance(v, str):
+                    cv = v
+                if cv is None:
+                    cv = _coerce_probe_extended(v, t)
+                cmp = op_strict if iv.get(f"{side}_strict") else op
+                df = df.filter(cmp(F.col(c), F.lit(cv)))
     return df
 
 

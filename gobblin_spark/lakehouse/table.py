@@ -107,6 +107,13 @@ class DataFile:
     # bitmap}. Built executor-side in the same stats pass as key_bounds.
     # None/missing column = unknown → never pruned on (sound superset).
     value_stats: dict[str, dict] | None = None
+    # Per stats column [min, max] of the file's NON-NULL values (same
+    # columns as value_stats, same executor-side stats pass, two thin agg
+    # columns each) — enables RANGE predicates (`--where 'col>=v'`) to
+    # skip files at planning time, which a bloom cannot (≙ Iceberg
+    # lower_bounds/upper_bounds on non-key columns). None/missing column
+    # (legacy manifest or all-NULL file) → never pruned on.
+    value_bounds: dict[str, list] | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -123,6 +130,7 @@ class DataFile:
             "key_bounds": self.key_bounds,
             "spec_n": self.spec_n,
             "value_stats": self.value_stats,
+            "value_bounds": self.value_bounds,
         }
 
     @staticmethod
@@ -881,6 +889,9 @@ class LakeTable:
             aggs += [
                 F.collect_set(F.expr(e1)).alias(f"__vb1_{c}"),
                 F.collect_set(F.expr(e2)).alias(f"__vb2_{c}"),
+                # [min,max] of non-null values: range-predicate skipping
+                F.min(c).alias(f"__vmin_{c}"),
+                F.max(c).alias(f"__vmax_{c}"),
             ]
         stats = df.groupBy(*keys).agg(*aggs).collect()
 
@@ -917,6 +928,11 @@ class LakeTable:
                             value_stats_m),
                     }
                     for c in vs_cols
+                } or None) if vs_cols else None,
+                value_bounds=({
+                    c: [r[f"__vmin_{c}"], r[f"__vmax_{c}"]]
+                    for c in vs_cols
+                    if r[f"__vmin_{c}"] is not None
                 } or None) if vs_cols else None,
             ))
         return out
@@ -1005,6 +1021,7 @@ class LakeTable:
         partitions: set[str] | None = None,
         key_eq: dict[str, Any] | None = None,
         value_eq: dict[str, Any] | None = None,
+        value_range: dict[str, dict] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, with file-level pruning.
 
@@ -1106,6 +1123,56 @@ class LakeTable:
                         return False
                 return True
             files = [f for f in files if bloom_hit(f)]
+        if value_range:
+            # range-predicate skipping on the recorded [min,max] of each
+            # stats column: keep a file unless its bounds PROVE no row can
+            # satisfy the interval. Bounds are over non-null values and a
+            # range predicate never matches NULL (SQL), so bounds-excluded
+            # files cannot contribute matching rows. Files/columns without
+            # bounds (legacy manifests, all-NULL files... which have no
+            # matching rows either, but "no bounds" is indistinguishable
+            # from "legacy") are kept — skipping stays a sound superset.
+            type_by_name = {fl.name: fl.dataType.typeName()
+                            for fl in snap.schema.fields}
+            coerced: dict[str, dict] = {}
+            for c, iv in value_range.items():
+                if c not in type_by_name:
+                    raise ValueError(
+                        f"value_range column {c!r} not in schema")
+                t = type_by_name[c]
+                cv = {}
+                for side in ("lo", "hi"):
+                    v = iv.get(side)
+                    if v is None:
+                        cv[side] = None
+                        continue
+                    p = _coerce_probe(v, t)
+                    if p is None and not isinstance(v, str):
+                        p = v
+                    if p is None:
+                        p = _coerce_probe_extended(v, t)
+                    cv[side] = p
+                cv["lo_strict"] = bool(iv.get("lo_strict"))
+                cv["hi_strict"] = bool(iv.get("hi_strict"))
+                coerced[c] = cv
+
+            def range_hit(f: DataFile) -> bool:
+                if not f.value_bounds:
+                    return True
+                for c, iv in coerced.items():
+                    b = f.value_bounds.get(c)
+                    if b is None:
+                        continue
+                    bmin, bmax = b
+                    lo, hi = iv["lo"], iv["hi"]
+                    if lo is not None and (
+                            bmax < lo or (iv["lo_strict"] and bmax == lo)):
+                        return False
+                    if hi is not None and (
+                            bmin > hi or (iv["hi_strict"] and bmin == hi)):
+                        return False
+                return True
+            files = [f for f in files if range_hit(f)]
         return self.read_file_set(files, snap)
 
     def read_file_set(

@@ -891,6 +891,50 @@ ORDER BY user_id
 """
 
 
+def q_cdc_secondary_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate scan over a compacted CDC table: read_current(
+    value_range=...) prunes files via the per-file [min,max] value bounds
+    recorded alongside the blooms (DataFile.value_bounds — the skip a
+    bloom structurally cannot provide) and must equal the oracle's
+    final-state BETWEEN filter exactly. Interval: 'c' <= event_type < 'q'
+    (half-open, exercising both the inclusive and strict comparators)."""
+    import shutil
+    import tempfile
+
+    from gobblin_spark.lakehouse import LakeTable
+    from gobblin_spark.lakehouse.merge import merge_lww, read_current
+
+    stream = _event_cdc_stream(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="gs_vrange_")
+    try:
+        t = LakeTable.create(spark, f"{d}/table", _event_table_schema(),
+                             ["user_id"], n_buckets=8,
+                             stats_cols=["event_type"])
+        merge_lww(t, stream, ["user_id"])
+        iv = {"event_type": {"lo": "c", "hi": "q",
+                             "lo_strict": False, "hi_strict": True}}
+        out = (read_current(t, value_range=iv)
+               .select("user_id", "event_type", "value")
+               .orderBy("user_id"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_CDC_SECONDARY_RANGE_SCAN = """
+WITH ranked AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, round(value, 6) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+  FROM events)
+SELECT user_id, event_type, value
+FROM ranked
+WHERE rn = 1 AND op <> 'D' AND event_type >= 'c' AND event_type < 'q'
+ORDER BY user_id
+"""
+
+
 def q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Targeted deletion end-to-end: full replay, then DELETE WHERE
     event_type='click' (tombstones through the normal LWW apply, victims
@@ -2292,6 +2336,7 @@ QUERIES = {
     "cdc_table_fingerprint": q_cdc_table_fingerprint,
     "cdc_rescale_final_state": q_cdc_rescale_final_state,
     "cdc_secondary_scan": q_cdc_secondary_scan,
+    "cdc_secondary_range_scan": q_cdc_secondary_range_scan,
     "cdc_delete_where": q_cdc_delete_where,
     "plan_watermark_ranges": q_plan_watermark_ranges,
     "plan_time_watermark_daily": q_time_partition_daily,
@@ -2363,6 +2408,7 @@ def oracle_sqls() -> dict[str, str]:
         # to the plain full replay — that invariance IS the property
         "cdc_rescale_final_state": SQL_CDC_VISIBLE_STATE,
         "cdc_secondary_scan": SQL_CDC_SECONDARY_SCAN,
+        "cdc_secondary_range_scan": SQL_CDC_SECONDARY_RANGE_SCAN,
         "cdc_delete_where": SQL_CDC_DELETE_WHERE,
         "plan_watermark_ranges": SQL_PLAN_WATERMARK,
         "plan_time_watermark_daily": SQL_TIME_PARTITION_DAILY,

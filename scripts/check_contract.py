@@ -39,7 +39,7 @@ def value_hash(pdf: pd.DataFrame) -> str:
 # Pin of the registered contract size: the driver's correctness file must
 # cover EXACTLY this many queries. A silent drop (r4 covered 50 of 52) or an
 # unregistered addition fails here before it can fail invisibly driver-side.
-EXPECTED_REGISTERED = 53  # round 5: + cdc_wap_publish
+EXPECTED_REGISTERED = 54  # round 5: + cdc_wap_publish, cdc_secondary_range_scan
 
 
 def main():

@@ -215,3 +215,150 @@ def test_typed_stats_col_with_string_probe(spark, tmp_table_dir):
     with pytest.raises(ValueError, match="string/integer/boolean"):
         LakeTable.create(spark, tmp_table_dir + "/bad", bad, KEYS,
                          stats_cols=["score"])
+
+
+# ---------------------------------------------------------------- ranges
+# Range predicates over the per-file [min,max] value bounds recorded in
+# the same stats pass as the blooms (DataFile.value_bounds): the skip a
+# bloom structurally cannot provide.
+
+
+def test_value_range_file_skipping_on_disjoint_appends(spark, tmp_table_dir):
+    """Two appends with disjoint value ranges -> files from the
+    out-of-range append are skipped at planning time; results equal the
+    full-scan filter."""
+    t = _new(spark, tmp_table_dir + "/t")
+    lo_rows = [(i, "U", f"r{i}", f"p{i}", "c1", f"aaa{i}", False)
+               for i in range(40)]
+    hi_rows = [(100 + i, "U", f"s{i}", f"q{i}", "c1", f"zzz{i}", False)
+               for i in range(40)]
+    cols = ["__seq", "op", "repo", "path", "commit", "lang", "__deleted"]
+    for rows in (lo_rows, hi_rows):
+        t.append(spark.createDataFrame(rows, cols)
+                 .select("repo", "path", "commit", "lang", "__seq",
+                         "__deleted"))
+    snap = t.snapshot()
+    assert all(f.value_bounds and "lang" in f.value_bounds
+               for f in snap.files)
+
+    counts = []
+    orig = LakeTable.read_file_set
+
+    def spy(self, files, s=None):
+        counts.append(len(files))
+        return orig(self, files, s)
+
+    LakeTable.read_file_set = spy
+    try:
+        iv = {"lang": {"lo": "zz", "hi": None,
+                       "lo_strict": False, "hi_strict": False}}
+        got = t.read(value_range=iv).collect()
+        n_pruned = counts[-1]
+        full = t.read().filter(F.col("lang") >= "zz").collect()
+        n_full = counts[-1]
+    finally:
+        LakeTable.read_file_set = orig
+    assert sorted(r["path"] for r in got) == sorted(
+        r["path"] for r in full) == sorted(f"q{i}" for i in range(40))
+    assert n_pruned < n_full, (n_pruned, n_full)
+
+
+def test_value_range_sound_across_unresolved_mor_deltas(
+        spark, tmp_table_dir):
+    """A delta moves a key's value INTO the probed range; the stale
+    out-of-range base row must never be returned, and the new row must."""
+    t = _new(spark, tmp_table_dir + "/t")
+    merge_lww(t, _batch(spark, _rows(50, lang="mmm")), KEYS)
+    merge_lww_mor(t, _batch(
+        spark, [(8000, "U", "r0", "p0", "c2", "zzz")]), KEYS)
+
+    iv = {"lang": {"lo": "t", "hi": None,
+                   "lo_strict": False, "hi_strict": False}}
+    hot = read_current(t, value_range=iv).collect()
+    assert [r["path"] for r in hot] == ["p0"] and hot[0]["lang"] == "zzz"
+
+    compact(t)
+    hot2 = read_current(t, value_range=iv).collect()
+    assert sorted(map(tuple, hot2)) == sorted(map(tuple, hot))
+
+
+def test_value_range_between_strict_and_inclusive_int(spark, tmp_table_dir):
+    """Integer stats column: BETWEEN with inclusive and strict bounds
+    against a python-computed oracle."""
+    schema = StructType([
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("size", LongType()),
+        StructField("__seq", LongType()),
+        StructField("__deleted", BooleanType()),
+    ])
+    t = LakeTable.create(spark, tmp_table_dir + "/t", schema, KEYS,
+                         n_buckets=4, key_cols=KEYS, stats_cols=["size"])
+    rows = [(f"r{i}", f"p{i}", i * 3, i, False) for i in range(60)]
+    merge_lww(t, spark.createDataFrame(
+        [(i, "U", r, p, s) for (r, p, s, i, _) in rows],
+        ["seq", "op", "repo", "path", "size"]), KEYS)
+
+    def q(lo, hi, los, his):
+        iv = {"size": {"lo": lo, "hi": hi,
+                       "lo_strict": los, "hi_strict": his}}
+        return sorted(r["size"]
+                      for r in read_current(t, value_range=iv).collect())
+
+    allv = [i * 3 for i in range(60)]
+    assert q(30, 60, False, False) == [v for v in allv if 30 <= v <= 60]
+    assert q(30, 60, True, True) == [v for v in allv if 30 < v < 60]
+    # CLI-string probes coerce to the column type
+    assert q("30", "60", False, False) == [v for v in allv if 30 <= v <= 60]
+    # one-sided
+    assert q(None, 9, False, False) == [v for v in allv if v <= 9]
+    # uncoercible string probe on an integer column raises, never
+    # silently-empty
+    with pytest.raises(ValueError, match="cannot be coerced"):
+        read_current(t, value_range={
+            "size": {"lo": "abc", "hi": None,
+                     "lo_strict": False, "hi_strict": False}}).collect()
+    # unknown column raises at planning time
+    with pytest.raises(ValueError, match="not in schema"):
+        t.read(value_range={"ghost": {"lo": 1, "hi": None,
+                                      "lo_strict": False,
+                                      "hi_strict": False}})
+
+
+def test_value_range_legacy_files_without_bounds_are_kept(
+        spark, tmp_table_dir):
+    """Manifests written before value_bounds existed (or all-NULL files)
+    must never be pruned."""
+    t = _new(spark, tmp_table_dir + "/t")
+    merge_lww(t, _batch(spark, _rows(30, lang="mmm")), KEYS)
+    snap = t.snapshot()
+    stripped = [
+        type(f)(**{**f.to_json(), "value_bounds": None})
+        for f in snap.files
+    ]
+    t.commit(keep_files=stripped, add_files=[],
+             expected_version=snap.version)
+    iv = {"lang": {"lo": "a", "hi": "z",
+                   "lo_strict": False, "hi_strict": False}}
+    assert read_current(t, value_range=iv).count() == 30
+
+
+def test_export_where_range_cli(spark, tmp_table_dir):
+    from gobblin_spark.cli import main as cli
+
+    t = _new(spark, tmp_table_dir + "/t")
+    merge_lww(t, _batch(spark, [
+        (i, "U", f"r{i}", f"p{i}", "c1", lang)
+        for i, lang in enumerate(["ada", "go", "rust", "zig"] * 5)
+    ]), KEYS)
+    rc = cli(["export", "--table", tmp_table_dir + "/t",
+              "--out", tmp_table_dir + "/x", "--where", "lang>=go",
+              "--where", "lang<rust", "--local-cores", "4"])
+    assert rc == 0
+    out = spark.read.parquet(tmp_table_dir + "/x")
+    assert out.count() == 5 and \
+        out.select("lang").distinct().collect()[0]["lang"] == "go"
+    with pytest.raises(SystemExit, match="col=value"):
+        cli(["export", "--table", tmp_table_dir + "/t",
+             "--out", tmp_table_dir + "/y", "--where", "lang!!go",
+             "--local-cores", "4"])
