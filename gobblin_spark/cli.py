@@ -635,16 +635,19 @@ def cmd_delete(args) -> int:
     _resolve_table(args)
     spark = _get_session(args)
     table = LakeTable(spark, args.table)
-    where = dict(kv.split("=", 1) for kv in args.where)
-    if not where:
-        raise SystemExit("delete requires at least one --where col=value")
+    where, where_range = _parse_where(args.where)
+    if not where and not where_range:
+        raise SystemExit("delete requires at least one --where clause")
     if args.dry_run:
-        n = read_current(table, value_eq=where).count()
+        n = read_current(table, value_eq=where or None,
+                         value_range=where_range or None).count()
         print(json.dumps({"deleted": 0, "would_delete": n,
-                          "where": where}))
+                          "where": where, "where_range": where_range}))
         return 0
-    out = delete_where(table, where, seq=args.seq or None)
+    out = delete_where(table, where or None, seq=args.seq or None,
+                       range_predicate=where_range or None)
     out["where"] = where
+    out["where_range"] = where_range or None
     print(json.dumps(out))
     return 0
 
@@ -674,10 +677,11 @@ def cmd_purge(args) -> int:
     _resolve_table(args)
     spark = _get_session(args)
     table = LakeTable(spark, args.table)
-    where = dict(kv.split("=", 1) for kv in args.where)
-    if not where:
-        raise SystemExit("purge requires at least one --where col=value")
-    res = delete_where(table, where, seq=args.seq or None)
+    where, where_range = _parse_where(args.where)
+    if not where and not where_range:
+        raise SystemExit("purge requires at least one --where clause")
+    res = delete_where(table, where or None, seq=args.seq or None,
+                       range_predicate=where_range or None)
     delete_version = res["snapshot_version"]
     if getattr(args, "drop_blocking_tags", False):
         for name, v in table.tags().items():
@@ -1338,7 +1342,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="LakeTable root, or a catalog NAME with --catalog")
     dl.add_argument("--catalog", default="")
     dl.add_argument("--where", action="append", default=[], required=True,
-                    help="equality predicate col=value (repeatable, ANDed)")
+                    help="predicate col=value or col>=/<=/>/<value "
+                         "(repeatable, ANDed; two range clauses on one "
+                         "column form a BETWEEN)")
     dl.add_argument("--seq", type=int, default=0,
                     help="tombstone seq (default: table max seq + 1)")
     dl.add_argument("--dry-run", action="store_true")

@@ -884,9 +884,10 @@ def read_current(
 
 def delete_where(
     table: LakeTable,
-    predicate: dict[str, Any],
+    predicate: dict[str, Any] | None = None,
     seq: int | None = None,
     properties: dict[str, Any] | None = None,
+    range_predicate: dict[str, dict] | None = None,
 ) -> dict[str, Any]:
     """Targeted deletion — ``DELETE FROM t WHERE col = v [AND ...]`` as a
     CDC-native operation (the right-to-be-forgotten / tenant-offboarding
@@ -914,7 +915,15 @@ def delete_where(
     reference the old files, and ``vacuum`` deletes them from disk. The
     ``purge`` CLI composes exactly that sequence.
 
+    ``range_predicate``: interval clauses in read_current's value_range
+    form — DELETE WHERE col >= v / BETWEEN, victim discovery pruned by
+    the per-file [min,max] value bounds. ANDed with ``predicate``.
+
     Returns {"deleted": n, "seq": s, "snapshot_version": v}."""
+    if not predicate and not range_predicate:
+        raise ValueError("delete_where needs a predicate (an unqualified "
+                         "full-table delete must be spelled explicitly "
+                         "by the caller, not defaulted into)")
     snap = table.snapshot()
     if seq is None:
         seqs = [f.max_seq for f in snap.files if f.max_seq is not None]
@@ -922,7 +931,8 @@ def delete_where(
     keys = snap.merge_keys
     payload = [f.name for f in snap.schema.fields
                if f.name not in META_COLS and f.name not in keys]
-    victims = read_current(table, value_eq=predicate).select(*keys)
+    victims = read_current(table, value_eq=predicate or None,
+                           value_range=range_predicate).select(*keys)
     # merge_lww runs several actions over the batch (bucket planning, the
     # write, the stats pass), so an Observation can't count it — one extra
     # count over the bloom-pruned read is the simple correct thing
@@ -938,7 +948,13 @@ def delete_where(
         *[F.lit(None).cast(types[c]).alias(c) for c in payload],
     )
     props = dict(properties or {})
-    props["delete_where"] = {k: str(v) for k, v in predicate.items()}
+    props["delete_where"] = {k: str(v) for k, v in (predicate or {}).items()}
+    if range_predicate:
+        props["delete_where_range"] = {
+            c: {k: (str(v) if v is not None and not isinstance(v, bool)
+                    else v)
+                for k, v in iv.items()}
+            for c, iv in range_predicate.items()}
     new = merge_lww(table, batch, keys, properties=props)
     return {"deleted": n, "seq": int(seq),
             "snapshot_version": new.version}

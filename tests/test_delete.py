@@ -212,3 +212,41 @@ def test_delete_where_date_column_string_probe(spark, tmp_table_dir):
     with pytest.raises(ValueError, match="not parseable"):
         delete_where(t, {"day": "not-a-date"})
     assert read_current(t).count() == 8  # nothing written
+
+
+def test_delete_where_range_predicate(spark, tmp_table_dir):
+    """DELETE WHERE col >= v: victims discovered via the per-file
+    [min,max] value-bounds pruning; LWW/tombstone semantics unchanged."""
+    from gobblin_spark.cli import main as cli
+
+    t = _new(spark, tmp_table_dir + "/t")
+    rows = [(i, "U", f"r{i}", f"p{i}", "c1", lang)
+            for i, lang in enumerate(["ada", "go", "rust", "zig"] * 10)]
+    merge_lww(t, _batch(spark, rows), KEYS)
+
+    # dry-run first: range clause through the CLI parser
+    rc = cli(["delete", "--table", tmp_table_dir + "/t",
+              "--where", "lang>=rust", "--dry-run", "--local-cores", "4"])
+    assert rc == 0
+
+    res = delete_where(t, range_predicate={
+        "lang": {"lo": "rust", "hi": None,
+                 "lo_strict": False, "hi_strict": False}})
+    assert res["deleted"] == 20  # rust + zig
+    left = read_current(t).select("lang").distinct().collect()
+    assert sorted(r["lang"] for r in left) == ["ada", "go"]
+
+    # equality + range AND-compose
+    res2 = delete_where(t, {"lang": "go"}, range_predicate={
+        "path": {"lo": "p0", "hi": "p2",
+                 "lo_strict": False, "hi_strict": True}})
+    gone = {f"p{i}" for i in range(40)
+            if ["ada", "go", "rust", "zig"][i % 4] == "go"
+            and "p0" <= f"p{i}" < "p2"}
+    assert res2["deleted"] == len(gone) > 0
+    assert read_current(t).filter(
+        F.col("path").isin(list(gone))).count() == 0
+
+    # no predicate at all is refused, never a silent full-table delete
+    with pytest.raises(ValueError, match="needs a predicate"):
+        delete_where(t)
