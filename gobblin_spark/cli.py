@@ -460,6 +460,8 @@ def cmd_rescale(args) -> int:
 
     _resolve_table(args)
     table = LakeTable(None, args.table)
+    if getattr(args, "branch", ""):
+        table = table.branch(args.branch)
     before = table.snapshot()
     snap = table.rescale_buckets(args.to_buckets)
     print(json.dumps({
@@ -851,10 +853,15 @@ def cmd_expire(args) -> int:
 
     spark = _get_session(args)
     table = LakeTable(spark, args.table)
+    if getattr(args, "branch", ""):
+        table = table.branch(args.branch)
     expired = table.expire_snapshots(
         keep_last=args.keep_last, older_than_ms=args.older_than_ms
     )
-    removed = table.vacuum() if args.vacuum else 0
+    # vacuum is table-wide (all chains) and main-handle-only; run it on
+    # the main handle regardless of which chain was expired
+    removed = (LakeTable(spark, args.table).vacuum()
+               if args.vacuum else 0)
     print(json.dumps({
         "expired_versions": expired,
         "retained_versions": table.versions(),
@@ -899,6 +906,8 @@ def cmd_history(args) -> int:
 
     _resolve_table(args)
     table = LakeTable(None, args.table)
+    if getattr(args, "branch", ""):
+        table = table.branch(args.branch)
     out = []
     for s in table.history():
         out.append({
@@ -921,6 +930,11 @@ def cmd_rollback(args) -> int:
     from gobblin_spark.lakehouse import LakeTable
 
     table = LakeTable(None, args.table)
+    if getattr(args, "branch", ""):
+        if getattr(args, "tag", ""):
+            raise SystemExit("tags name main-chain versions; use "
+                             "--to-version with --branch")
+        table = table.branch(args.branch)
     to_v = args.to_version
     if getattr(args, "tag", ""):
         if to_v:
@@ -1264,6 +1278,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="LakeTable root, or a catalog NAME with --catalog")
     rs.add_argument("--catalog", default="")
     rs.add_argument("--to-buckets", type=int, required=True)
+    rs.add_argument("--branch", default="",
+                    help="rescale a branch's chain (main picks it up at "
+                         "publish)")
 
     fp = sub.add_parser(
         "fingerprint",
@@ -1438,6 +1455,9 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--keep-last", type=int, default=2)
     ex.add_argument("--older-than-ms", type=int, default=None)
     ex.add_argument("--no-vacuum", dest="vacuum", action="store_false")
+    ex.add_argument("--branch", default="",
+                    help="expire a branch chain's snapshots (vacuum still "
+                         "runs table-wide on the main handle)")
     ex.add_argument("--local-cores", type=int, default=0)
 
     st = sub.add_parser(
@@ -1474,6 +1494,7 @@ def main(argv: list[str] | None = None) -> int:
     hi.add_argument("--table", required=True,
                     help="LakeTable root, or a catalog NAME with --catalog")
     hi.add_argument("--catalog", default="")
+    hi.add_argument("--branch", default="", help="a branch's chain")
 
     rb = sub.add_parser(
         "rollback",
@@ -1484,6 +1505,9 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--to-version", type=int, default=0)
     rb.add_argument("--tag", default="",
                     help="roll back to a named tag instead of --to-version")
+    rb.add_argument("--branch", default="",
+                    help="roll back a branch's chain (e.g. undo audit "
+                         "commits before publish)")
 
     dd = sub.add_parser(
         "dedup",

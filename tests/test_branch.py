@@ -299,3 +299,59 @@ def test_branch_cli_verify_and_changes(spark, tmp_table_dir):
     with pytest.raises(SystemExit, match="main-chain"):
         cli(["changes", "--table", d + "/t", "--branch", "audit",
              "--from-tag", "x", "--local-cores", "4"])
+
+
+def test_branch_cli_history_rollback_expire_rescale(spark, tmp_table_dir):
+    """The remaining snapshot-selecting CLI commands on a branch chain:
+    history --branch, rollback --branch (undo audit commits pre-publish),
+    expire --branch, rescale --branch."""
+    import io
+    from contextlib import redirect_stdout
+
+    from gobblin_spark.cli import main as cli
+
+    d = tmp_table_dir
+    ev = _events(spark, d, n=1200)
+    first, _ = _split_events(ev)
+    first.write.parquet(d + "/ev_first")
+    cli(["ingest", "--events", d + "/ev_first", "--table", d + "/t",
+         "--state", d + "/s", "--buckets", "4", "--local-cores", "4"])
+    main_t = LakeTable(spark, d + "/t")
+    base_v = main_t.current_version()
+    main_t.create_branch("audit")
+    cli(["ingest", "--events", d + "/events", "--table", d + "/t",
+         "--state", d + "/s_b", "--buckets", "4", "--branch", "audit",
+         "--local-cores", "4"])
+    b = main_t.branch("audit")
+    head_v = b.current_version()
+    assert head_v > base_v
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cli(["history", "--table", d + "/t",
+                    "--branch", "audit"]) == 0
+    hist = json.loads(buf.getvalue())
+    assert [h["version"] for h in hist][-1] == head_v
+
+    # rollback the audit commits on the BRANCH; main untouched
+    fp_main = _fp(main_t)
+    assert cli(["rollback", "--table", d + "/t", "--branch", "audit",
+                "--to-version", str(base_v)]) == 0
+    assert _fp(main_t.branch("audit")) == _fp(main_t, version=base_v)
+    assert _fp(main_t) == fp_main
+    with pytest.raises(SystemExit, match="main-chain"):
+        cli(["rollback", "--table", d + "/t", "--branch", "audit",
+             "--tag", "x"])
+
+    # expire the branch chain; the branch head survives, main versions too
+    main_versions = main_t.versions()
+    assert cli(["expire", "--table", d + "/t", "--branch", "audit",
+                "--keep-last", "1", "--local-cores", "4"]) == 0
+    assert len(main_t.branch("audit").versions()) == 1
+    assert main_t.versions() == main_versions
+
+    # metadata-only rescale on the branch chain; main keeps its spec
+    assert cli(["rescale", "--table", d + "/t", "--branch", "audit",
+                "--to-buckets", "8"]) == 0
+    assert main_t.branch("audit").snapshot().n_buckets == 8
+    assert main_t.snapshot().n_buckets == 4
