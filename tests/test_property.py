@@ -227,3 +227,63 @@ def test_replay_converges_across_mid_run_rescales(
         import shutil
 
         shutil.rmtree(work, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    values=st.lists(st.integers(-50, 50), min_size=5, max_size=40),
+    lo=st.one_of(st.none(), st.integers(-60, 60)),
+    hi=st.one_of(st.none(), st.integers(-60, 60)),
+    lo_strict=st.booleans(),
+    hi_strict=st.booleans(),
+    use_mor=st.booleans(),
+)
+def test_range_pruned_read_equals_full_filter(spark, tmp_path_factory,
+                                              values, lo, hi, lo_strict,
+                                              hi_strict, use_mor):
+    """PROPERTY: for any data distribution and any interval (one-sided,
+    empty, inverted, strict/inclusive), the value-bounds-pruned read
+    returns exactly the rows of the unpruned filter — pruning may only
+    ever remove files that provably hold no matching rows, under COW and
+    across unresolved MOR deltas alike."""
+    from pyspark.sql.types import (BooleanType, LongType, StringType,
+                                   StructField, StructType)
+
+    from gobblin_spark.lakehouse import LakeTable, merge_lww
+    from gobblin_spark.lakehouse.merge import merge_lww_mor, read_current
+
+    d = str(tmp_path_factory.mktemp("rangeprop"))
+    schema = StructType([
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("size", LongType()),
+        StructField("__seq", LongType()),
+        StructField("__deleted", BooleanType()),
+    ])
+    t = LakeTable.create(spark, d + "/t", schema, ["repo", "path"],
+                         n_buckets=4, key_cols=["repo", "path"],
+                         stats_cols=["size"])
+    rows = [(i, "U", f"r{i % 3}", f"p{i}", v)
+            for i, v in enumerate(values)]
+    batch = spark.createDataFrame(
+        rows, ["seq", "op", "repo", "path", "size"])
+    merge_lww(t, batch.filter("seq % 2 = 0"), ["repo", "path"])
+    apply2 = merge_lww_mor if use_mor else merge_lww
+    apply2(t, batch.filter("seq % 2 = 1"), ["repo", "path"])
+
+    iv = {"size": {"lo": lo, "hi": hi,
+                   "lo_strict": lo_strict, "hi_strict": hi_strict}}
+    got = sorted((r["path"], r["size"])
+                 for r in read_current(t, value_range=iv).collect())
+
+    def keep(v):
+        if lo is not None and (v < lo or (lo_strict and v == lo)):
+            return False
+        if hi is not None and (v > hi or (hi_strict and v == hi)):
+            return False
+        return True
+
+    want = sorted((f"p{i}", v) for i, v in enumerate(values) if keep(v))
+    assert got == want
