@@ -355,3 +355,39 @@ def test_branch_cli_history_rollback_expire_rescale(spark, tmp_table_dir):
                 "--to-buckets", "8"]) == 0
     assert main_t.branch("audit").snapshot().n_buckets == 8
     assert main_t.snapshot().n_buckets == 4
+
+
+def test_fast_forward_race_window_is_closed_by_atomic_publish(
+        spark, tmp_table_dir):
+    """A writer commits main's v(base+1) BETWEEN fast_forward's divergence
+    check and its publish (the classic TOCTOU window): publish_if_absent
+    on the same version file is the arbiter, so the fast-forward must
+    raise and the racing commit must survive untouched."""
+    from gobblin_spark.lakehouse.merge import delete_where
+
+    d = tmp_table_dir
+    ev = _events(spark, d, n=800)
+    first, full = _split_events(ev)
+    CdcEngine(spark, first, d + "/t", d + "/s",
+              max_records_per_batch=100000, n_buckets=4).run_until_caught_up()
+    main = LakeTable(spark, d + "/t")
+    base_v = main.current_version()
+    main.create_branch("audit")
+    CdcEngine(spark, full, d + "/t", d + "/s_b",
+              max_records_per_batch=100000, n_buckets=4,
+              branch="audit").run_until_caught_up()
+
+    # freeze the divergence check at the stale read...
+    main_stale = LakeTable(spark, d + "/t")
+    main_stale.current_version = lambda: base_v  # type: ignore
+    # ...while another writer lands v(base_v + 1) first
+    racer = LakeTable(spark, d + "/t")
+    delete_where(racer, {"lang": "py"})
+    assert racer.current_version() == base_v + 1
+    racer_fp = _fp(racer)
+
+    with pytest.raises(ConcurrentCommitError, match="already committed"):
+        main_stale.fast_forward("audit")
+    # the racing commit is intact; nothing from the branch leaked in
+    assert main.current_version() == base_v + 1
+    assert _fp(main) == racer_fp
