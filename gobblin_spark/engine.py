@@ -237,7 +237,13 @@ class CdcEngine:
         whose remaining niche over 'cell' is only the map-column storage
         cost. It is DEPRECATED: batch ingest still honors it for existing
         tables but emits a DeprecationWarning; create new tables with
-        'cell'."""
+        'cell'.
+
+        branch: write-audit-publish — ingest into this zero-copy branch of
+        an EXISTING table (auto-created at main's current version on first
+        use); main is untouched until LakeTable.fast_forward publishes the
+        audited branch head. Use a dedicated state_root per branch:
+        watermarks describe the chain they were committed against."""
         self.spark = spark
         self._events = events
         self.registry = registry or default_registry()
